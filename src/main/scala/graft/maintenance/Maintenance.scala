@@ -1,0 +1,387 @@
+package graft.maintenance
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Clustering, RangeBucket}
+import graft.table.{DataFileMeta, Snapshot, TokenTable}
+
+/** Test-only failpoints for crash-resume coverage — the analogue of the
+  * reference's error-path e2e suite
+  * (reference tests/data/test_snapshot_handling_during_errors.py). */
+object Failpoints {
+  @volatile private var arm: Map[String, Int] = Map.empty
+  final class InjectedFailure(name: String) extends RuntimeException(s"failpoint: $name")
+  /** Fail the `n`-th hit (1-based) of `name`. */
+  def armAt(name: String, n: Int): Unit = synchronized { arm += (name -> n) }
+  def reset(): Unit = synchronized { arm = Map.empty }
+  def hit(name: String): Unit = synchronized {
+    arm.get(name) match {
+      case Some(1) => arm -= name; throw new InjectedFailure(name)
+      case Some(n) => arm += (name -> (n - 1))
+      case None    => ()
+    }
+  }
+}
+
+/** Desired physical layout of rewritten data. */
+sealed trait Layout { def describe: String }
+case class SortBy(cols: Seq[String]) extends Layout { def describe = s"sort(${cols.mkString(",")})" }
+case class ZOrder(cols: Seq[String], bits: Int = Clustering.DefaultBits) extends Layout {
+  def describe = s"zorder(${cols.mkString(",")})"
+}
+case class Hilbert(cols: Seq[String], bits: Int = Clustering.DefaultBits) extends Layout {
+  def describe = s"hilbert(${cols.mkString(",")})"
+}
+
+/** Node/row creation rules for MERGE — reference nodestream/model/creation_rules.py:4-18. */
+object CreationRule extends Enumeration {
+  val Eager, MatchOnly, Create = Value
+}
+
+object Maintenance {
+
+  val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
+
+  // ------------------------------------------------------------- compaction
+
+  /**
+   * Bin-packing small-file compaction + optional re-clustering, executed as
+   * resumable chunks. Victims are bin-packed first-fit-decreasing into bins
+   * of ~targetFileBytes; bins are grouped into `chunks` independent Spark
+   * jobs, each staged + ledger-recorded so a killed run resumes without
+   * recomputing finished chunks; one atomic snapshot swap at the end.
+   *
+   * Spark shape per chunk: file-list scan → (optional curve key) →
+   * `repartitionByRange` (single shuffle) → `sortWithinPartitions` → write.
+   */
+  def compact(
+      spark: SparkSession,
+      table: TokenTable,
+      layout: Layout = SortBy(Seq("doc_id")),
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      smallFileThreshold: Option[Long] = None, // None = rewrite ALL files (full re-cluster)
+      chunks: Int = 8,
+      operation: String = "compact"): Option[Snapshot] = {
+    val live = table.liveFiles()
+    val threshold = smallFileThreshold.getOrElse(Long.MaxValue)
+    val victims = live.filter(_.bytes < threshold)
+    if (victims.size < 2) return None
+
+    val stepId = deterministicStepId(operation, table, layout, targetFileBytes, victims)
+    val ledger = new Ledger(table, stepId)
+    val done = ledger.completedUnits()
+
+    // First-fit-decreasing bin packing of victims into ~target-size bins,
+    // then round-robin bins into resumable chunks.
+    val bins = binPack(victims, targetFileBytes)
+    val chunkGroups: Seq[(String, Seq[DataFileMeta])] =
+      bins.zipWithIndex
+        .groupBy(_._2 % math.max(1, math.min(chunks, bins.size)))
+        .toSeq.sortBy(_._1)
+        .map { case (i, bs) => (s"chunk-$i", bs.flatMap(_._1)) }
+
+    val staged: Seq[DataFileMeta] = chunkGroups.flatMap { case (unitId, files) =>
+      done.get(unitId) match {
+        case Some(outs) => outs // resumed: reuse staged output, no recompute
+        case None =>
+          val stagingDir = new Path(table.dataDir, s"$stepId/$unitId")
+          if (table.fs.exists(stagingDir)) table.fs.delete(stagingDir, true) // partial crash leftovers
+          val input = table.readFiles(spark, files)
+          val nOut = math.max(1, math.ceil(files.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
+          val outs = table.stageWrite(applyLayout(input, layout, nOut), s"$stepId/$unitId")
+          ledger.record(unitId, outs)
+          Failpoints.hit("compact.after-chunk")
+          outs
+      }
+    }
+    val snap = table.commit(
+      operation, staged, victims.map(_.path).toSet,
+      summary = Map(
+        "layout" -> layout.describe,
+        "target-file-bytes" -> targetFileBytes.toString,
+        "input-files" -> victims.size.toString,
+        "input-records" -> victims.map(_.records).sum.toString))
+    ledger.clear()
+    Some(snap)
+  }
+
+  /** Full-table re-cluster on a space-filling curve (zorder/hilbert). */
+  def cluster(
+      spark: SparkSession,
+      table: TokenTable,
+      layout: Layout,
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      chunks: Int = 1): Option[Snapshot] =
+    // One chunk: a curve re-cluster is a single global repartitionByRange so
+    // key ranges do not straddle chunk boundaries.
+    compact(spark, table, layout, targetFileBytes, smallFileThreshold = None,
+      chunks = chunks, operation = "cluster")
+
+  private def applyLayout(input: DataFrame, layout: Layout, nOut: Int): DataFrame = layout match {
+    case SortBy(cols) =>
+      input.repartitionByRange(nOut, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+    case ZOrder(cols, bits) =>
+      val k = Clustering.zorderKey(input, cols, bits)
+      input.withColumn("_ck", k)
+        .repartitionByRange(nOut, col("_ck"))
+        .sortWithinPartitions(col("_ck"))
+        .drop("_ck")
+    case Hilbert(cols, bits) =>
+      val k = Clustering.hilbertKey(input, cols, bits)
+      input.withColumn("_ck", k)
+        .repartitionByRange(nOut, col("_ck"))
+        .sortWithinPartitions(col("_ck"))
+        .drop("_ck")
+  }
+
+  // ---------------------------------------------------------------- merge
+
+  /**
+   * Copy-on-write MERGE INTO: debounce the batch (last-write-wins per
+   * doc_id — reference nodestream/databases/operation_debouncer.py:46-101),
+   * prune candidate files by manifest min/max vs batch key range, rewrite
+   * only touched files via a key-equality join, write with token-mass
+   * balanced range partitioning (explicit skew handling), single snapshot.
+   *
+   * `batch` columns: doc_id, tokens, n_tok, source, optional `_seq` (ordering
+   * for last-write-wins), optional `_op` ('upsert' | 'delete').
+   * Creation rules per reference nodestream/model/creation_rules.py:
+   * Eager = update + insert; MatchOnly = update only; Create = blind append.
+   */
+  def mergeInto(
+      spark: SparkSession,
+      table: TokenTable,
+      batch: DataFrame,
+      rule: CreationRule.Value = CreationRule.Eager,
+      targetFileBytes: Long = DefaultTargetFileBytes): Snapshot = {
+    import org.apache.spark.sql.types.LongType
+
+    val withSeq =
+      if (batch.columns.contains("_seq")) batch
+      else batch.withColumn("_seq", lit(0L).cast(LongType))
+    val withOp =
+      if (withSeq.columns.contains("_op")) withSeq
+      else withSeq.withColumn("_op", lit("upsert"))
+
+    // Debounce: deterministic last-write-wins via max_by on (_seq, content).
+    val debounced = withOp
+      .groupBy(col("doc_id"))
+      .agg(max_by(
+        struct(col("tokens"), col("n_tok"), col("source"), col("_op")),
+        struct(col("_seq"), col("n_tok"), col("tokens"))).as("_r"))
+      .select(col("doc_id"), col("_r.tokens").as("tokens"), col("_r.n_tok").as("n_tok"),
+        col("_r.source").as("source"), col("_r._op").as("_op"))
+      .cache()
+
+    if (rule == CreationRule.Create) {
+      // Blind append — no join, no file rewrite.
+      val added = table.stageWrite(
+        debounced.filter(col("_op") === "upsert").drop("_op"), s"merge-append-${java.util.UUID.randomUUID()}")
+      val snap = table.commit("merge", added, summary = Map("rule" -> "create"))
+      debounced.unpersist()
+      return snap
+    }
+
+    // Manifest-level candidate-file pruning: a file is touched iff some batch
+    // key falls inside its [minDocId, maxDocId]. File ranges are tiny —
+    // broadcast them against the batch keys (range join on the small side).
+    val live = table.liveFiles()
+    val ranges = spark.createDataFrame(live.map(f => (f.path, f.minDocId, f.maxDocId)))
+      .toDF("_path", "_min", "_max")
+    val touchedPaths: Set[String] = debounced
+      .join(broadcast(ranges),
+        col("doc_id") >= col("_min") && col("doc_id") <= col("_max"))
+      .select("_path").distinct().collect().map(_.getString(0)).toSet
+    val touched = live.filter(f => touchedPaths.contains(f.path))
+
+    val target = table.readFiles(spark, touched)
+    val b = debounced
+      .withColumnRenamed("tokens", "_b_tokens").withColumnRenamed("n_tok", "_b_n_tok")
+      .withColumnRenamed("source", "_b_source")
+      .withColumn("_b_present", lit(true))
+    // full_outer (Eager): matched → batch wins; target-only → keep;
+    // batch-only → insert. left_outer (MatchOnly): unmatched batch dropped.
+    val joined = target.join(b, Seq("doc_id"),
+      if (rule == CreationRule.MatchOnly) "left_outer" else "full_outer")
+    val result = joined
+      // drop rows the batch deletes; batch-only delete rows also vanish here
+      .filter(coalesce(col("_op") =!= "delete", lit(true)))
+      // MatchOnly inserts nothing; Eager keeps batch-only rows as inserts
+      .filter(coalesce(col("_b_present"), lit(false)) || col("tokens").isNotNull)
+      .select(
+        col("doc_id"),
+        coalesce(col("_b_tokens"), col("tokens")).as("tokens"),
+        coalesce(col("_b_n_tok"), col("n_tok")).as("n_tok"),
+        coalesce(col("_b_source"), col("source")).as("source"))
+
+    // Output sizing + token-mass balanced range partitioning on doc_id.
+    val outBytes = touched.map(_.bytes).sum + estimateBatchBytes(touched, live, debounced)
+    val nOut = math.max(1, math.ceil(outBytes.toDouble / targetFileBytes).toInt)
+    val balanced = repartitionByTokenMass(result, nOut)
+
+    val stepId = s"merge-snap${table.metadata.currentSnapshotId.getOrElse(0L)}-${touchedPaths.hashCode()}"
+    val ledger = new Ledger(table, stepId)
+    val staged = ledger.completedUnits().getOrElse("merge", {
+      val stagingDir = new Path(table.dataDir, s"$stepId/merge")
+      if (table.fs.exists(stagingDir)) table.fs.delete(stagingDir, true)
+      val outs = table.stageWrite(balanced, s"$stepId/merge")
+      ledger.record("merge", outs)
+      outs
+    })
+    Failpoints.hit("merge.before-commit")
+    val snap = table.commit("merge", staged, touchedPaths,
+      summary = Map("rule" -> rule.toString.toLowerCase, "touched-files" -> touched.size.toString))
+    ledger.clear()
+    debounced.unpersist()
+    snap
+  }
+
+  /**
+   * Salted/weighted range partitioning: choose doc_id bounds so each output
+   * partition carries ~equal *token mass* (not row count) — a long-doc skew
+   * (1% of docs carry 4k-16k tokens) would otherwise leave straggler tasks.
+   * Bounds are computed from a weighted sample; the bucket id is a codegen'd
+   * [[RangeBucket]] so the only shuffle is the final repartitionByRange.
+   */
+  def repartitionByTokenMass(df: DataFrame, nOut: Int): DataFrame = {
+    if (nOut <= 1) return df.coalesce(1).sortWithinPartitions("doc_id")
+    val sample = df.select(col("doc_id"), col("n_tok"))
+      .sample(withReplacement = false, 0.5, seed = 7)
+      .limit(200000).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+      .sortBy(_._1)
+    if (sample.length < nOut * 2) {
+      return df.repartitionByRange(nOut, col("doc_id")).sortWithinPartitions("doc_id")
+    }
+    val totalMass = sample.map(_._2).sum.toDouble
+    val perPart = totalMass / nOut
+    val bounds = scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var acc = 0.0
+    var nextCut = perPart
+    sample.foreach { case (docId, w) =>
+      acc += w
+      if (acc >= nextCut && bounds.size < nOut - 1) {
+        bounds += org.apache.spark.unsafe.types.UTF8String.fromString(docId)
+        nextCut += perPart
+      }
+    }
+    val bucket = ExpressionUtils.column(
+      RangeBucket(ExpressionUtils.expression(col("doc_id")), bounds.toArray))
+    df.withColumn("_mb", bucket)
+      .repartitionByRange(nOut, col("_mb"), col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .drop("_mb")
+  }
+
+  private def estimateBatchBytes(
+      touched: Seq[DataFileMeta], live: Seq[DataFileMeta], batch: DataFrame): Long = {
+    val bytesPerTok =
+      if (live.nonEmpty && live.map(_.sumNTok).sum > 0)
+        live.map(_.bytes).sum.toDouble / live.map(_.sumNTok).sum
+      else 4.0
+    val batchToks = batch.agg(sum(col("n_tok").cast("long"))).collect()(0)
+    val toks = if (batchToks.isNullAt(0)) 0L else batchToks.getLong(0)
+    (toks * bytesPerTok).toLong
+  }
+
+  // ------------------------------------------------------------- TTL delete
+
+  /** Structured delete predicate — structured (not an opaque Column) so the
+    * planner can *prove* whole-file deletes from manifest min/max stats and
+    * drop those files metadata-only, reading zero bytes. */
+  sealed trait DeletePredicate {
+    def toColumn: Column
+    /** file entirely matches → metadata-only drop */
+    def coversFile(f: DataFileMeta): Boolean
+    /** file may contain matches → rewrite candidate */
+    def intersectsFile(f: DataFileMeta): Boolean
+  }
+  case class SourceIn(sources: Set[String]) extends DeletePredicate {
+    def toColumn: Column = col("source").isin(sources.toSeq: _*)
+    def coversFile(f: DataFileMeta): Boolean = f.sources.forall(sources.contains)
+    def intersectsFile(f: DataFileMeta): Boolean = f.sources.exists(sources.contains)
+  }
+  case class NTokGreaterThan(x: Int) extends DeletePredicate {
+    def toColumn: Column = col("n_tok") > x
+    def coversFile(f: DataFileMeta): Boolean = f.minNTok > x
+    def intersectsFile(f: DataFileMeta): Boolean = f.maxNTok > x
+  }
+  case class DocIdBetween(lo: String, hi: String) extends DeletePredicate {
+    def toColumn: Column = col("doc_id") >= lo && col("doc_id") <= hi
+    def coversFile(f: DataFileMeta): Boolean = f.minDocId >= lo && f.maxDocId <= hi
+    def intersectsFile(f: DataFileMeta): Boolean = f.maxDocId >= lo && f.minDocId <= hi
+  }
+
+  /**
+   * Delete-by-predicate (the reference's TTL op, nodestream/model/ttl.py:11-29,
+   * executed at nodestream/databases/debounced_ingest_strategy.py:44-47):
+   * metadata-only drop for files provably all-matching, copy-on-write rewrite
+   * for files that straddle the predicate, untouched files carried forward.
+   */
+  def deleteWhere(
+      spark: SparkSession,
+      table: TokenTable,
+      pred: DeletePredicate,
+      targetFileBytes: Long = DefaultTargetFileBytes): Option[Snapshot] = {
+    val live = table.liveFiles()
+    val fullyCovered = live.filter(pred.coversFile)
+    val partial = live.filter(f => pred.intersectsFile(f) && !pred.coversFile(f))
+    if (fullyCovered.isEmpty && partial.isEmpty) return None
+
+    val staged =
+      if (partial.isEmpty) Seq.empty
+      else {
+        val kept = table.readFiles(spark, partial).filter(!pred.toColumn)
+        val nOut = math.max(1, math.ceil(
+          partial.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
+        table.stageWrite(kept.repartitionByRange(nOut, col("doc_id")),
+          s"delete-${java.util.UUID.randomUUID()}")
+      }
+    Some(table.commit("delete", staged,
+      (fullyCovered ++ partial).map(_.path).toSet,
+      summary = Map(
+        "predicate" -> pred.toString,
+        "metadata-only-deleted-files" -> fullyCovered.size.toString,
+        "rewritten-files" -> partial.size.toString)))
+  }
+
+  // ------------------------------------------------------- manifest rewrite
+
+  /** Metadata-only manifest rewrite: regroup live file entries into manifests
+    * of ~`entriesPerManifest`, ordered by minDocId, so range-pruned scans
+    * touch few manifests. No data is read or written. */
+  def rewriteManifests(table: TokenTable, entriesPerManifest: Int = 1000): Snapshot = {
+    val live = table.liveFiles().sortBy(_.minDocId)
+    val groups = live.grouped(math.max(1, entriesPerManifest)).toSeq
+    table.commitManifestGroups("rewrite-manifests", groups)
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def binPack(files: Seq[DataFileMeta], targetBytes: Long): Seq[Seq[DataFileMeta]] = {
+    val sorted = files.sortBy(-_.bytes)
+    val bins = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[DataFileMeta], Long)]()
+    sorted.foreach { f =>
+      bins.indexWhere(_._2 + f.bytes <= targetBytes) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(f), f.bytes))
+        case i =>
+          val (buf, sz) = bins(i)
+          buf += f
+          bins(i) = (buf, sz + f.bytes)
+      }
+    }
+    bins.map(_._1.toSeq).toSeq
+  }
+
+  private def deterministicStepId(
+      op: String, table: TokenTable, layout: Layout,
+      targetBytes: Long, victims: Seq[DataFileMeta]): String = {
+    val h = (layout.describe, targetBytes, victims.map(_.path).sorted).hashCode()
+    s"$op-snap${table.metadata.currentSnapshotId.getOrElse(0L)}-${Integer.toHexString(h)}"
+  }
+}

@@ -1,0 +1,76 @@
+package graft.table
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/**
+ * Metadata model of the Graft token table — an Iceberg-style snapshot table
+ * format built from scratch (no Iceberg runtime on the classpath).
+ *
+ * It reifies the reference's checkpoint/ledger + schema state
+ * (nodestream/pipeline/object_storage.py:143-344, nodestream/schema/state.py:418-775)
+ * as *table metadata*: a versioned metadata JSON holding the snapshot log, with
+ * per-snapshot manifest files carrying one row per data file including
+ * per-column min/max stats used for scan pruning (the analogue of nodestream's
+ * DynamoDB filter/projection pushdown, …/stores/aws/dynamodb_extractor.py:70-85).
+ *
+ * Layout:
+ * {{{
+ *   <root>/data/<uuid>.parquet                  -- token sequence data files
+ *   <root>/metadata/v<N>.json                   -- table metadata (snapshot log)
+ *   <root>/metadata/manifest-<uuid>.json        -- list of DataFileMeta
+ *   <root>/metadata/version-hint.text           -- latest committed N (advisory)
+ *   <root>/metadata/ledger/<step>/...           -- resumable work-unit ledger
+ * }}}
+ */
+final case class DataFileMeta(
+    path: String, // relative to table root
+    records: Long,
+    bytes: Long,
+    minDocId: String,
+    maxDocId: String,
+    minNTok: Int,
+    maxNTok: Int,
+    sumNTok: Long,
+    sources: Seq[String],
+    minZKey: Option[Long] = None,
+    maxZKey: Option[Long] = None)
+
+final case class ManifestMeta(path: String, addedFiles: Int, records: Long, bytes: Long)
+
+final case class Snapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    timestampMs: Long,
+    operation: String, // append | compact | cluster | merge | delete | expire | rewrite-manifests
+    manifests: Seq[ManifestMeta],
+    summary: Map[String, String])
+
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    schemaJson: String, // Spark StructType json, field order fixed
+    sortOrder: Seq[String], // declared clustering, e.g. Seq("zorder(doc_id,source,n_tok)")
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[Snapshot],
+    properties: Map[String, String]) {
+
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+
+  def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+
+  def withSnapshot(s: Snapshot): TableMetadata =
+    copy(currentSnapshotId = Some(s.snapshotId), snapshots = snapshots :+ s)
+}
+
+object TableJson {
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  def write[A <: AnyRef](a: A): String = Serialization.writePretty(a)
+
+  def readMetadata(s: String): TableMetadata = JsonMethods.parse(s).extract[TableMetadata]
+  def readManifest(s: String): Seq[DataFileMeta] =
+    JsonMethods.parse(s).extract[Seq[DataFileMeta]]
+}

@@ -1,0 +1,400 @@
+package graft.table
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Injectable clock — mirrors the reference's frozen-time golden tests
+  * (reference tests/integration/test_pipeline_and_data_interpretation.py:61-62). */
+object Clock {
+  @volatile private var fixed: Option[Long] = None
+  def freeze(ms: Long): Unit = { fixed = Some(ms) }
+  def thaw(): Unit = { fixed = None }
+  def nowMs(): Long = fixed.getOrElse(System.currentTimeMillis())
+}
+
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/**
+ * The Graft token table: an Iceberg-style copy-on-write snapshot table of
+ * pre-tokenized training sequences
+ * `(doc_id: string, tokens: array<int32>, n_tok: int32, source: string)`.
+ *
+ * Commit protocol (HadoopCatalog-style): new metadata is written to a temp
+ * file and renamed to `metadata/v<N+1>.json`; `FileSystem.rename` refuses to
+ * clobber an existing destination, so the first committer of version N+1
+ * wins and losers re-read, re-validate and retry. `version-hint.text` is an
+ * advisory fast path; readers fall back to scanning for the max version.
+ *
+ * This is the Spark-native recast of nodestream's atomic write path
+ * (GraphDatabaseWriter flush + ObjectStore checkpoints,
+ * reference nodestream/databases/writer.py:24-104,
+ * nodestream/pipeline/object_storage.py:143-344).
+ */
+class TokenTable private (val root: Path, val fs: FileSystem) {
+
+  import TokenTable._
+
+  @volatile private var meta: TableMetadata = loadCurrentMetadata()
+
+  def metadata: TableMetadata = meta
+  def refresh(): TableMetadata = { meta = loadCurrentMetadata(); meta }
+
+  def metadataDir: Path = new Path(root, "metadata")
+  def dataDir: Path = new Path(root, "data")
+
+  // ---------------------------------------------------------------- reading
+
+  private def loadCurrentMetadata(): TableMetadata = {
+    val v = currentVersion()
+    require(v >= 0, s"no table at $root")
+    TableJson.readMetadata(readString(fs, new Path(metadataDir, s"v$v.json")))
+  }
+
+  def currentVersion(): Int = {
+    val hint = new Path(metadataDir, "version-hint.text")
+    val fromHint =
+      if (fs.exists(hint)) scala.util.Try(readString(fs, hint).trim.toInt).getOrElse(-1)
+      else -1
+    // The hint is advisory: a crashed committer may have renamed v<N>.json but
+    // died before updating it. Probe forward from the hint.
+    var v = math.max(fromHint, -1)
+    while (fs.exists(new Path(metadataDir, s"v${v + 1}.json"))) v += 1
+    v
+  }
+
+  def manifestEntries(s: Snapshot): Seq[DataFileMeta] =
+    s.manifests.flatMap(m => TableJson.readManifest(readString(fs, new Path(metadataDir, m.path))))
+
+  /** All live data files of a snapshot (paths relative to table root). */
+  def liveFiles(snapshotId: Option[Long] = None): Seq[DataFileMeta] = {
+    val snap = snapshotId match {
+      case Some(id) => meta.snapshot(id).getOrElse(sys.error(s"unknown snapshot $id"))
+      case None     => meta.currentSnapshot.getOrElse(sys.error("table has no snapshot"))
+    }
+    manifestEntries(snap)
+  }
+
+  /**
+   * Manifest-level min/max pruning (our analogue of the reference's
+   * pushdown, …/dynamodb_extractor.py:70-85): select only files whose stats
+   * ranges intersect the requested bounds, then hand Spark the exact file
+   * list — Catalyst still applies parquet row-group pruning below us.
+   */
+  def planFiles(
+      snapshotId: Option[Long] = None,
+      docIdRange: Option[(String, String)] = None,
+      sourceIn: Option[Set[String]] = None,
+      nTokRange: Option[(Int, Int)] = None): Seq[DataFileMeta] = {
+    liveFiles(snapshotId).filter { f =>
+      docIdRange.forall { case (lo, hi) => f.maxDocId >= lo && f.minDocId <= hi } &&
+      sourceIn.forall(s => f.sources.exists(s.contains)) &&
+      nTokRange.forall { case (lo, hi) => f.maxNTok >= lo && f.minNTok <= hi }
+    }
+  }
+
+  def scan(
+      spark: SparkSession,
+      snapshotId: Option[Long] = None,
+      docIdRange: Option[(String, String)] = None,
+      sourceIn: Option[Set[String]] = None,
+      nTokRange: Option[(Int, Int)] = None): DataFrame = {
+    val files = planFiles(snapshotId, docIdRange, sourceIn, nTokRange)
+    readFiles(spark, files)
+  }
+
+  def readFiles(spark: SparkSession, files: Seq[DataFileMeta]): DataFrame = {
+    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else
+      spark.read
+        .schema(schema)
+        .parquet(files.map(f => new Path(root, f.path).toString): _*)
+  }
+
+  def schema: StructType = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+
+  // ---------------------------------------------------------------- writing
+
+  /** Stage a DataFrame into data/ under a unique job prefix; returns file metas
+    * with freshly computed per-file min/max stats. No snapshot is committed —
+    * callers record staged units in the ledger and commit atomically at the end. */
+  def stageWrite(df: DataFrame, jobId: String): Seq[DataFileMeta] = {
+    val spark = df.sparkSession
+    val stagingDir = new Path(dataDir, jobId)
+    df.write.mode("errorifexists").parquet(stagingDir.toString)
+    collectStats(spark, fs, root, stagingDir)
+  }
+
+  def writeManifest(files: Seq[DataFileMeta]): ManifestMeta = {
+    val name = s"manifest-${UUID.randomUUID()}.json"
+    writeString(fs, new Path(metadataDir, name), TableJson.write(files))
+    ManifestMeta(name, files.size, files.map(_.records).sum, files.map(_.bytes).sum)
+  }
+
+  /**
+   * Atomically commit a new snapshot replacing `replaced` files with `added`
+   * files (either may be empty). Unchanged manifests are carried forward when
+   * none of their files are replaced; touched manifests are rewritten minus
+   * the replaced entries (nodestream analogue: the debounced bulk MERGE flush,
+   * reference nodestream/databases/debounced_ingest_strategy.py:49-82).
+   */
+  def commit(
+      operation: String,
+      added: Seq[DataFileMeta],
+      replaced: Set[String] = Set.empty,
+      summary: Map[String, String] = Map.empty,
+      retries: Int = 5): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val base = refresh()
+      val parent = base.currentSnapshot
+      // Validate: every file we replace must still be live (otherwise a
+      // concurrent maintenance already rewrote it — abort, caller replans).
+      val live: Map[String, DataFileMeta] =
+        parent.map(manifestEntries(_).map(f => f.path -> f).toMap).getOrElse(Map.empty)
+      val missing = replaced.filterNot(live.contains)
+      if (missing.nonEmpty)
+        throw new CommitConflictException(
+          s"files no longer live (concurrently rewritten): ${missing.take(5).mkString(", ")}")
+
+      val carried: Seq[ManifestMeta] = parent match {
+        case None => Seq.empty
+        case Some(p) =>
+          p.manifests.flatMap { m =>
+            val entries = TableJson.readManifest(readString(fs, new Path(metadataDir, m.path)))
+            val kept = entries.filterNot(e => replaced.contains(e.path))
+            if (kept.size == entries.size) Some(m) // untouched: carry forward
+            else if (kept.isEmpty) None
+            else Some(writeManifest(kept))
+          }
+      }
+      val newManifests = if (added.nonEmpty) carried :+ writeManifest(added) else carried
+      val snap = Snapshot(
+        snapshotId = base.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1,
+        parentId = parent.map(_.snapshotId),
+        timestampMs = Clock.nowMs(),
+        operation = operation,
+        manifests = newManifests,
+        summary = summary ++ Map(
+          "added-files" -> added.size.toString,
+          "removed-files" -> replaced.size.toString,
+          "added-records" -> added.map(_.records).sum.toString))
+      val next = base.withSnapshot(snap)
+      if (tryCommitVersion(currentVersion() + 1, next)) {
+        meta = next
+        return snap
+      }
+      attempt += 1
+      if (attempt > retries)
+        throw new CommitConflictException(s"lost commit race $retries times at $root")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Metadata-only commit of an explicit manifest regrouping over the exact
+    * current live file set (manifest rewrite). No data files change. */
+  def commitManifestGroups(operation: String, groups: Seq[Seq[DataFileMeta]]): Snapshot = {
+    var attempt = 0
+    while (attempt < 5) {
+      val base = refresh()
+      val parent = base.currentSnapshot.getOrElse(sys.error("no snapshot"))
+      val currentLive = manifestEntries(parent).map(_.path).toSet
+      val proposed = groups.flatten.map(_.path).toSet
+      if (currentLive != proposed)
+        throw new CommitConflictException("live set changed during manifest rewrite")
+      val manifests = groups.filter(_.nonEmpty).map(writeManifest)
+      val snap = Snapshot(
+        snapshotId = base.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1,
+        parentId = Some(parent.snapshotId),
+        timestampMs = Clock.nowMs(),
+        operation = operation,
+        manifests = manifests,
+        summary = Map("manifests" -> manifests.size.toString))
+      val next = base.withSnapshot(snap)
+      if (tryCommitVersion(currentVersion() + 1, next)) { meta = next; return snap }
+      attempt += 1
+    }
+    throw new CommitConflictException(s"manifest rewrite lost commit race at $root")
+  }
+
+  private def tryCommitVersion(version: Int, m: TableMetadata): Boolean = {
+    val tmp = new Path(metadataDir, s".tmp-${UUID.randomUUID()}.json")
+    writeString(fs, tmp, TableJson.write(m))
+    val dst = new Path(metadataDir, s"v$version.json")
+    // rename refuses to clobber: first committer of v<N> wins.
+    val won = !fs.exists(dst) && fs.rename(tmp, dst)
+    if (won) writeString(fs, new Path(metadataDir, "version-hint.text"), version.toString, overwrite = true)
+    else fs.delete(tmp, false)
+    won
+  }
+
+  // ------------------------------------------------------------ maintenance
+
+  /**
+   * Drop expired snapshots from the metadata (keeping the current one and
+   * the `retainLast` most recent, plus anything newer than `olderThanMs`).
+   * Metadata-only; data files become orphans collected by [[removeOrphans]].
+   * Nodestream analogue: TTL deletes (reference nodestream/model/ttl.py:11-29)
+   * applied to table history instead of graph objects.
+   */
+  def expireSnapshots(retainLast: Int = 1, olderThanMs: Option[Long] = None): TableMetadata = {
+    var attempt = 0
+    while (attempt < 5) {
+      val base = refresh()
+      val byRecency = base.snapshots.sortBy(-_.timestampMs)
+      val keepIds: Set[Long] =
+        (byRecency.take(math.max(retainLast, 1)).map(_.snapshotId) ++
+          base.currentSnapshotId.toSeq ++
+          olderThanMs.map(cut => base.snapshots.filter(_.timestampMs >= cut).map(_.snapshotId))
+            .getOrElse(Seq.empty)).toSet
+      val next = base.copy(snapshots = base.snapshots.filter(s => keepIds.contains(s.snapshotId)))
+      if (tryCommitVersion(currentVersion() + 1, next)) { meta = next; return next }
+      attempt += 1
+    }
+    throw new CommitConflictException(s"expireSnapshots lost commit race at $root")
+  }
+
+  /** Reachability GC: delete data files and manifests not referenced by any
+    * retained snapshot. Returns deleted relative paths. Never deletes a file
+    * reachable from a retained snapshot (ScalaCheck-tested invariant). */
+  def removeOrphans(): Seq[String] = {
+    refresh()
+    val reachableData: Set[String] = meta.snapshots.flatMap(manifestEntries).map(_.path).toSet
+    val reachableManifests: Set[String] = meta.snapshots.flatMap(_.manifests.map(_.path)).toSet
+    val deadData = listDataFiles().filterNot(reachableData.contains)
+    deadData.foreach(deleteDataFile)
+    val deadManifests = fs.listStatus(metadataDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && !reachableManifests.contains(n))
+    deadManifests.foreach(n => fs.delete(new Path(metadataDir, n), false))
+    deadData ++ deadManifests
+  }
+
+  /** Files present in data/ but unreachable from any retained snapshot. */
+  def orphanFiles(): Seq[String] = {
+    val reachable: Set[String] =
+      meta.snapshots.flatMap(manifestEntries).map(_.path).toSet
+    listDataFiles().filterNot(reachable.contains)
+  }
+
+  def listDataFiles(): Seq[String] = {
+    if (!fs.exists(dataDir)) return Seq.empty
+    val it = fs.listFiles(dataDir, true)
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = relativize(root, st.getPath)
+      if (st.isFile && rel.endsWith(".parquet")) buf += rel
+    }
+    buf.toSeq
+  }
+
+  def deleteDataFile(rel: String): Unit = fs.delete(new Path(root, rel), false)
+}
+
+object TokenTable {
+
+  /** The engine's canonical sequence schema (BASELINE.json input_hint). */
+  val sequenceSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("source", StringType, nullable = false)))
+
+  def create(spark: SparkSession, rootStr: String, properties: Map[String, String] = Map.empty): TokenTable = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(conf)
+    val metaDir = new Path(root, "metadata")
+    require(!fs.exists(new Path(metaDir, "v0.json")), s"table already exists at $rootStr")
+    fs.mkdirs(metaDir)
+    fs.mkdirs(new Path(root, "data"))
+    val m = TableMetadata(
+      formatVersion = 1,
+      tableUuid = UUID.randomUUID().toString,
+      schemaJson = sequenceSchema.json,
+      sortOrder = Seq.empty,
+      currentSnapshotId = None,
+      snapshots = Seq.empty,
+      properties = properties)
+    val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}.json")
+    writeString(fs, tmp, TableJson.write(m))
+    require(fs.rename(tmp, new Path(metaDir, "v0.json")), s"concurrent create at $rootStr")
+    writeString(fs, new Path(metaDir, "version-hint.text"), "0", overwrite = true)
+    new TokenTable(root, fs)
+  }
+
+  def load(spark: SparkSession, rootStr: String): TokenTable = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    new TokenTable(root, fs)
+  }
+
+  def exists(spark: SparkSession, rootStr: String): Boolean = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new Path(root, "metadata/v0.json"))
+  }
+
+  /** Per-file stats over a staged directory: one columnar pass over the
+    * metadata columns only (tokens are never read), grouped by file. */
+  def collectStats(spark: SparkSession, fs: FileSystem, root: Path, stagingDir: Path): Seq[DataFileMeta] = {
+    val sizes: Map[String, Long] = {
+      val it = fs.listFiles(stagingDir, true)
+      val buf = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          buf += (st.getPath.toUri.getPath -> st.getLen)
+      }
+      buf.toMap
+    }
+    if (sizes.isEmpty) return Seq.empty
+    val df = spark.read.schema(sequenceSchema).parquet(stagingDir.toString)
+    val stats = df
+      .select(col("doc_id"), col("n_tok"), col("source"),
+        input_file_name().as("_file"))
+      .groupBy(col("_file"))
+      .agg(
+        count(lit(1)).as("records"),
+        min("doc_id").as("minDocId"), max("doc_id").as("maxDocId"),
+        min("n_tok").as("minNTok"), max("n_tok").as("maxNTok"),
+        sum(col("n_tok").cast("long")).as("sumNTok"),
+        collect_set("source").as("sources"))
+      .collect()
+    stats.map { r =>
+      val uriPath = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+      DataFileMeta(
+        path = relativize(root, new Path(uriPath)),
+        records = r.getLong(1),
+        bytes = sizes.getOrElse(uriPath, fs.getFileStatus(new Path(uriPath)).getLen),
+        minDocId = r.getString(2), maxDocId = r.getString(3),
+        minNTok = r.getInt(4), maxNTok = r.getInt(5),
+        sumNTok = r.getLong(6),
+        sources = r.getSeq[String](7).sorted)
+    }.sortBy(_.path).toSeq
+  }
+
+  private[table] def relativize(root: Path, p: Path): String = {
+    val rootStr = Path.getPathWithoutSchemeAndAuthority(root).toString
+    val pStr = Path.getPathWithoutSchemeAndAuthority(p).toString
+    require(pStr.startsWith(rootStr), s"$p not under $root")
+    pStr.stripPrefix(rootStr).stripPrefix("/")
+  }
+
+  private[graft] def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private[graft] def writeString(fs: FileSystem, p: Path, s: String, overwrite: Boolean = false): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
