@@ -1,13 +1,183 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{MaintPipelines, QueryCatalog => Q}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every operator family from SURVEY.md §2 (and the training-data extras)
+  * has a `queries` entry; SQL-expressible ones carry a DuckDB oracle. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full maintenance pipeline (build token table from documents →
+    * compact → z-order → verifiable scan) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    MaintPipelines.zorderRoundtrip(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 sources
+    "src_scan_pushdown" -> (Q.srcScanPushdown _),
+    "src_iterable" -> (Q.srcIterable _),
+    // §2.2 filters
+    "flt_values_match" -> (Q.fltValuesMatch _),
+    "flt_values_exclude" -> (Q.fltValuesExclude _),
+    "flt_regex" -> (Q.fltRegex _),
+    "flt_condition_algebra" -> (Q.fltConditionAlgebra _),
+    // §2.3 transformers / interpretations
+    "tfm_value_projection" -> (Q.tfmValueProjection _),
+    "tfm_expand_json" -> (Q.tfmExpandJson _),
+    "tfm_switch" -> (Q.tfmSwitch _),
+    "tfm_find_many_zip" -> (Q.tfmFindManyZip _),
+    "tfm_interpret_source_node" -> (Q.tfmInterpretSourceNode _),
+    "tfm_interpret_relationship" -> (Q.tfmInterpretRelationship _),
+    // §2.4 expression providers
+    "exp_format" -> (Q.expFormat _),
+    "exp_regex_extract" -> (Q.expRegexExtract _),
+    "exp_cast" -> (Q.expCast _),
+    "exp_normalize" -> (Q.expNormalize _),
+    "exp_mapping" -> (Q.expMapping _),
+    // §2.5 write-path semantics
+    "dbn_debounce_last_wins" -> (Q.dbnDebounceLastWins _),
+    "dbn_upsert_eager" -> (Q.dbnUpsertEager _),
+    "dbn_match_only" -> (Q.dbnMatchOnly _),
+    "dbn_ttl" -> (Q.dbnTtl _),
+    // relational core
+    "agg_pricing" -> (Q.aggPricing _),
+    "join_revenue" -> (Q.joinRevenue _),
+    "win_running" -> (Q.winRunning _),
+    // maintenance engine (north rule)
+    "maint_compact" -> ((s, d) => MaintPipelines.compactRoundtrip(s, d)),
+    "maint_zorder" -> ((s, d) => MaintPipelines.zorderRoundtrip(s, d)),
+    "maint_hilbert" -> ((s, d) => MaintPipelines.hilbertRoundtrip(s, d)),
+    "maint_merge" -> ((s, d) => MaintPipelines.mergeRoundtrip(s, d)),
+    "maint_delete" -> ((s, d) => MaintPipelines.deleteRoundtrip(s, d)),
+    "maint_expire" -> ((s, d) => MaintPipelines.expireAndScan(s, d)),
+    // dedup
+    "ddp_exact" -> (Q.ddpExact _),
+    "ddp_jaccard_pairs" -> (Q.ddpJaccardPairs _),
+    "ddp_minhash_lsh" -> (Q.ddpMinhashLsh _),
+    "ddp_simhash" -> (Q.ddpSimhash _),
+    "ddp_embed_cosine_dup" -> (Q.ddpEmbedCosineDup _),
+    // similarity search
+    "ann_brute_topk" -> (Q.annBruteTopK _),
+    "ann_lsh_topk" -> (Q.annLshTopK _),
+    // text analysis
+    "txt_langid" -> (Q.txtLangId _),
+    "txt_quality" -> (Q.txtQuality _),
+    "txt_tokens" -> (Q.txtTokens _),
+    "txt_fingerprint" -> (Q.txtFingerprint _),
+    // multimodal plumbing
+    "mm_decode_meta" -> (Q.mmDecodeMeta _))
+
+  def oracleSql: Map[String, String] = Map(
+    "src_scan_pushdown" ->
+      "SELECT doc_id, n_chars, source FROM documents WHERE n_chars > 300",
+    "src_iterable" ->
+      "SELECT i AS id, (i*7) % 13 AS v FROM range(0, 1000) t(i)",
+    "flt_values_match" ->
+      "SELECT doc_id, lang, source FROM documents WHERE lower(lang) IN ('en','de') AND source IN ('src0','src1','src2')",
+    "flt_values_exclude" ->
+      "SELECT doc_id, lang, source FROM documents WHERE NOT (lang IN ('en','de') AND source IN ('src0','src1','src2'))",
+    "flt_regex" ->
+      "SELECT event_id, event_type FROM events WHERE regexp_matches(event_type, '^(sign|purch)')",
+    "flt_condition_algebra" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE (event_type = 'purchase' AND value > 100.0) OR (NOT (user_id < 10) AND event_type <> 'error')",
+    "tfm_value_projection" ->
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS word, lang FROM documents WHERE doc_id < 50",
+    "tfm_expand_json" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+    "tfm_switch" ->
+      "SELECT event_id, CAST(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2))*2 WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,2))+10 ELSE CAST(value AS DECIMAL(18,2)) END AS DOUBLE) AS routed_value FROM events",
+    "tfm_find_many_zip" ->
+      "SELECT doc_id, unnest(['lang','source']) AS k, unnest([lang, source]) AS v FROM documents WHERE doc_id < 100",
+    "tfm_interpret_source_node" ->
+      "SELECT 'Document' AS node_type, lower(source || '-' || CAST(doc_id AS VARCHAR)) AS node_key, n_chars AS prop_n_chars, lower(lang) AS prop_lang FROM documents",
+    "tfm_interpret_relationship" ->
+      "SELECT DISTINCT 'doc-' || CAST(doc_id AS VARCHAR) AS from_key, 'IN_LANGUAGE' AS rel_type, lower(lang) AS to_key FROM documents",
+    "exp_format" ->
+      "SELECT doc_id, source || ':' || lang || ':' || CAST(n_chars AS VARCHAR) AS formatted FROM documents",
+    "exp_regex_extract" ->
+      "SELECT event_id, NULLIF(regexp_extract(event_type, '^([a-z]+)u', 1), '') AS g1 FROM events",
+    "exp_cast" ->
+      "SELECT doc_id, CAST(n_chars AS VARCHAR) AS as_str, CAST(n_chars AS DOUBLE) AS as_double, (n_chars % 2 = 0) AS as_bool FROM documents",
+    "exp_normalize" ->
+      "SELECT doc_id, upper(lang) AS upper_lang, trim('  ' || source || '  ') AS trimmed, regexp_replace(source || '...', '\\.+$', '') AS no_dots FROM documents",
+    "exp_mapping" ->
+      "SELECT doc_id, CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german' WHEN 'es' THEN 'spanish' WHEN 'fr' THEN 'french' WHEN 'zh' THEN 'chinese' ELSE 'unknown' END AS lang_name FROM documents",
+    "dbn_debounce_last_wins" ->
+      "SELECT user_id, event_type, event_id AS last_event_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) rn FROM events) WHERE rn = 1",
+    "dbn_upsert_eager" ->
+      "SELECT doc_id, COALESCE(b_n_chars, n_chars) AS n_chars, COALESCE(b_lang, lang) AS lang FROM (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 3 <> 0) a FULL JOIN (SELECT doc_id, n_chars*10 AS b_n_chars, 'xx' AS b_lang FROM documents WHERE doc_id % 2 = 0) b USING (doc_id)",
+    "dbn_match_only" ->
+      "SELECT doc_id, COALESCE(b_n_chars, n_chars) AS n_chars FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0) a LEFT JOIN (SELECT doc_id, n_chars*10 AS b_n_chars FROM documents WHERE doc_id % 2 = 0) b USING (doc_id)",
+    "dbn_ttl" ->
+      "SELECT event_id, user_id FROM events WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'",
+    "agg_pricing" ->
+      "SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY 1, 2",
+    "join_revenue" ->
+      "SELECT o_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' GROUP BY 1 HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) > 100000.0",
+    "win_running" ->
+      "SELECT l_suppkey, l_orderkey, l_linenumber, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty FROM lineitem WHERE l_suppkey < 20",
+    "maint_compact" -> MaintPipelines.baseOracle,
+    "maint_zorder" -> MaintPipelines.baseOracle,
+    "maint_hilbert" -> MaintPipelines.baseOracle,
+    "maint_expire" -> MaintPipelines.baseOracle,
+    "maint_merge" -> MaintPipelines.mergeOracle,
+    "maint_delete" -> MaintPipelines.deleteOracle,
+    "ddp_exact" ->
+      "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
+    "ddp_jaccard_pairs" ->
+      """WITH ws AS (SELECT doc_id, lang, source, list_distinct(string_split(lower(trim(text)), ' ')) AS w FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE), 4) AS jaccard
+        |FROM ws a JOIN ws b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE) >= 0.5""".stripMargin,
+    "txt_langid" ->
+      """WITH s AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST((length(t)-length(replace(t,' the ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' and ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' of ','')))/4 AS INT) AS en,
+        |  CAST((length(t)-length(replace(t,' der ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' und ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' die ','')))/5 AS INT) AS de,
+        |  CAST((length(t)-length(replace(t,' el ','')))/4 AS INT)+CAST((length(t)-length(replace(t,' los ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' una ','')))/5 AS INT) AS es,
+        |  CAST((length(t)-length(replace(t,' le ','')))/4 AS INT)+CAST((length(t)-length(replace(t,' les ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' des ','')))/5 AS INT) AS fr
+        |FROM s)
+        |SELECT doc_id, CASE WHEN GREATEST(en,de,es,fr) = 0 THEN 'und'
+        |  WHEN fr >= es AND fr >= en AND fr >= de THEN 'fr'
+        |  WHEN es >= en AND es >= de THEN 'es'
+        |  WHEN en >= de THEN 'en' ELSE 'de' END AS lang_guess FROM c""".stripMargin,
+    "txt_quality" ->
+      """WITH b AS (SELECT doc_id, text, ' ' || text || ' ' AS t,
+        |  len(string_split(trim(text), ' ')) AS words FROM documents)
+        |SELECT doc_id, CAST(words AS INT) AS n_words,
+        |  ROUND(LEAST(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.4
+        |    + LEAST(CAST(len(regexp_extract_all(text,'[.,;:!?]')) AS DOUBLE)/CAST(GREATEST(words,1) AS DOUBLE), 1.0)*0.2
+        |    + LEAST(CAST(CAST((length(t)-length(replace(t,' the ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' and ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' of ','')))/4 AS INT)+CAST((length(t)-length(replace(t,' a ','')))/3 AS INT)+CAST((length(t)-length(replace(t,' to ','')))/4 AS INT) AS DOUBLE)*10.0/CAST(GREATEST(words,1) AS DOUBLE), 1.0)*0.4, 4) AS quality
+        |FROM b""".stripMargin,
+    "txt_tokens" ->
+      "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpeish_tokens FROM documents",
+    "txt_fingerprint" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT doc_id, substring(text, 1, 64) AS pre, 1 AS i, CAST(0 AS BIGINT) AS acc FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, pre, i + 1, (acc*131 + COALESCE(ascii(substring(pre, i, 1)), 0)) % 1000000007 FROM f WHERE i <= GREATEST(length(pre), 1)
+        |)
+        |SELECT doc_id, acc AS fp FROM f WHERE i = GREATEST(length(pre), 1) + 1""".stripMargin,
+    "mm_decode_meta" ->
+      """SELECT doc_id AS media_id,
+        |  ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+        |  CAST(strlen(text) AS INT) AS byte_len,
+        |  CAST(16 + strlen(text) % 1920 AS INT) AS width,
+        |  CAST(16 + (strlen(text)*7) % 1080 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 240 ELSE 1 END AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  ROUND(
+        |    list_sum(list_transform(list_zip(q.qv, e.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin)
 }

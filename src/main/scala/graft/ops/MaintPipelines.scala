@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.maintenance._
+import graft.table.TokenTable
+
+/**
+ * Maintenance operators exposed as verifiable queries: each builds a token
+ * table deterministically derived from the `documents` testdata table, runs
+ * a maintenance pipeline, and scans the result back in an oracle-checkable
+ * shape — proving the engine's correctness invariant (row-level token-array
+ * equality, BASELINE.json input_hint) against an independent SQL engine.
+ *
+ * Token derivation is chosen so DuckDB can verify token sums in closed form:
+ *   n_tok      = 16 + (n_chars % 497) + (doc_id % 100 == 0 ? 4096 : 0)
+ *   tokens[j]  = (doc_id*31 + j) % 50021
+ *   sum(tokens)= n*a + n(n-1)/2 - 50021*max(0, a+n-50021),  a = doc_id*31 % 50021
+ * (n < 50021 so each element wraps at most once.)
+ */
+object MaintPipelines {
+
+  /** The deterministic sequence table derived from `documents`. */
+  def tokensFromDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(
+      format_string("doc%012d", col("doc_id")).as("doc_id"),
+      col("doc_id").as("_id"),
+      (lit(16) + pmod(col("n_chars"), lit(497)) +
+        when(pmod(col("doc_id"), lit(100)) === 0, 4096).otherwise(0)).cast("int").as("n_tok"),
+      col("source"))
+      .select(
+        col("doc_id"),
+        transform(sequence(lit(0), col("n_tok") - 1),
+          j => pmod(col("_id") * 31 + j, lit(50021)).cast("int")).as("tokens"),
+        col("n_tok"), col("source"))
+  }
+
+  /** Batch of updates for the MERGE query: docs with _id % 7 == 1 get a new
+    * token stream (m=40009, mult=17, n = 8 + n_chars % 61). */
+  def updateBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+      .select(
+        format_string("doc%012d", col("doc_id")).as("doc_id"),
+        col("doc_id").as("_id"),
+        (lit(8) + pmod(col("n_chars"), lit(61))).cast("int").as("n_tok"),
+        col("source"), lit("upsert").as("_op"))
+    val inserts = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select(
+        format_string("doc%012d", col("doc_id") + 10000000).as("doc_id"),
+        (col("doc_id") + 10000000).as("_id"),
+        (lit(8) + pmod(col("n_chars"), lit(61))).cast("int").as("n_tok"),
+        col("source"), lit("upsert").as("_op"))
+    val deletes = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select(
+        format_string("doc%012d", col("doc_id")).as("doc_id"),
+        col("doc_id").as("_id"), lit(1).as("n_tok"),
+        col("source"), lit("delete").as("_op"))
+    updates.unionByName(inserts).unionByName(deletes)
+      .select(
+        col("doc_id"),
+        transform(sequence(lit(0), col("n_tok") - 1),
+          j => pmod(col("_id") * 17 + j, lit(40009)).cast("int")).as("tokens"),
+        col("n_tok"), col("source"), col("_op"))
+  }
+
+  /** Fresh throwaway table populated with tokensFromDocs, split into many
+    * small scattered files so maintenance has real work to do. */
+  def freshTable(spark: SparkSession, sfDir: String, nFiles: Int = 16): TokenTable = {
+    val root = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val t = TokenTable.create(spark, s"$root/tbl")
+    val df = tokensFromDocs(spark, sfDir)
+      .repartition(nFiles, xxhash64(col("doc_id")))
+    t.commit("append", t.stageWrite(df, "seed"))
+    t
+  }
+
+  /** Oracle-checkable scan: numeric id, n_tok, exact token sum, source. */
+  def verifiableScan(spark: SparkSession, t: TokenTable): DataFrame =
+    t.scan(spark).select(
+      expr("CAST(substring(doc_id, 4) AS BIGINT)").as("doc_id"),
+      col("n_tok"),
+      aggregate(col("tokens"), lit(0L), (acc, x) => acc + x).as("tok_sum"),
+      col("source"))
+
+  // ----- the queries ------------------------------------------------------
+
+  def compactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    Maintenance.compact(spark, t, targetFileBytes = 16L * 1024 * 1024,
+      smallFileThreshold = Some(16L * 1024 * 1024))
+    verifiableScan(spark, t)
+  }
+
+  def zorderRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    Maintenance.compact(spark, t, targetFileBytes = 16L * 1024 * 1024,
+      smallFileThreshold = Some(16L * 1024 * 1024))
+    Maintenance.cluster(spark, t, ZOrder(Seq("doc_id", "source", "n_tok")),
+      targetFileBytes = 1L * 1024 * 1024)
+    verifiableScan(spark, t)
+  }
+
+  def hilbertRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    Maintenance.cluster(spark, t, Hilbert(Seq("doc_id", "source", "n_tok")),
+      targetFileBytes = 1L * 1024 * 1024)
+    verifiableScan(spark, t)
+  }
+
+  def mergeRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    Maintenance.mergeInto(spark, t, updateBatch(spark, sfDir))
+    verifiableScan(spark, t)
+  }
+
+  def deleteRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    // TTL-style: expire all long documents (metadata-only where provable)
+    Maintenance.deleteWhere(spark, t, Maintenance.NTokGreaterThan(512))
+    verifiableScan(spark, t)
+  }
+
+  def expireAndScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    Maintenance.compact(spark, t, targetFileBytes = 16L * 1024 * 1024,
+      smallFileThreshold = Some(16L * 1024 * 1024))
+    Maintenance.rewriteManifests(t, entriesPerManifest = 2)
+    t.expireSnapshots(retainLast = 1)
+    t.removeOrphans()
+    verifiableScan(spark, t)
+  }
+
+  // ----- shared oracle fragments (DuckDB SQL) -----------------------------
+
+  /** Closed-form token sum for stream (mult, mod) at length n over doc d. */
+  def tokSumSql(idExpr: String, nExpr: String, mult: Int, m: Int): String =
+    s"(($nExpr) * (($idExpr) * $mult % $m) + (($nExpr) * (($nExpr) - 1)) // 2" +
+      s" - $m * GREATEST(0, ($idExpr) * $mult % $m + ($nExpr) - $m))"
+
+  val nTokSql = "CAST(16 + n_chars % 497 + CASE WHEN doc_id % 100 = 0 THEN 4096 ELSE 0 END AS INT)"
+  val nTok2Sql = "CAST(8 + n_chars % 61 AS INT)"
+
+  /** Oracle for the base table scan (compact/zorder/hilbert/expire). */
+  val baseOracle: String =
+    s"""SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source
+       |FROM (SELECT doc_id, $nTokSql AS n_tok, source FROM documents)""".stripMargin
+
+  val mergeOracle: String =
+    s"""WITH base AS (SELECT doc_id, $nTokSql AS n_tok, source FROM documents),
+       |upd AS (SELECT doc_id, $nTok2Sql AS n_tok, source FROM documents WHERE doc_id % 7 = 1),
+       |ins AS (SELECT doc_id + 10000000 AS doc_id, $nTok2Sql AS n_tok, source FROM documents WHERE doc_id % 7 = 2)
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source
+       |  FROM base WHERE doc_id % 7 NOT IN (1, 3)
+       |UNION ALL
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM upd
+       |UNION ALL
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM ins""".stripMargin
+
+  val deleteOracle: String =
+    s"""SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source
+       |FROM (SELECT doc_id, $nTokSql AS n_tok, source FROM documents) WHERE n_tok <= 512""".stripMargin
+}

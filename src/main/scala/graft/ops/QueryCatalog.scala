@@ -1,0 +1,301 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.{AnnOps, DedupOps, MultimodalOps, TextOps}
+
+/**
+ * The operator inventory exposed through SparkEntry: each entry implements
+ * one operator family from SURVEY.md §2 (nodestream's dataflow steps,
+ * expression providers and write-path semantics recast as DataFrame
+ * algebra) or a training-data-pipeline operator, with an independent DuckDB
+ * oracle where ANSI SQL can express it.
+ */
+object QueryCatalog {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact-decimal money sum cast back to double — bit-identical across
+    * engines (double sums are order-dependent; decimal sums are exact). */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ======================================================== §2.1 sources
+
+  def srcScanPushdown(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").filter(col("n_chars") > 300)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+
+  def srcIterable(s: SparkSession, dir: String): DataFrame =
+    s.range(1000).select(col("id"), pmod(col("id") * 7, lit(13)).as("v"))
+
+  // ======================================================== §2.2 filters
+
+  /** ValuesMatchPossibilitiesFilter with lowercase normalization
+    * (reference nodestream/pipeline/filters.py:84-99). */
+  def fltValuesMatch(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .filter(TextOps.lowercaseStrings(col("lang")).isin("en", "de") &&
+        col("source").isin("src0", "src1", "src2"))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** ExcludeWhenValuesMatchPossibilities (filters.py:102-112). */
+  def fltValuesExclude(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .filter(!(col("lang").isin("en", "de") && col("source").isin("src0", "src1", "src2")))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** ValueMatchesRegexFilter, anchored like Python re.match
+    * (filters.py:151-170). */
+  def fltRegex(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").filter(regexp_like(col("event_type"), lit("^(sign|purch)")))
+      .select(col("event_id"), col("event_type"))
+
+  /** Condition algebra and/or/not/compare
+    * (reference …/interpretations/conditions.py:15-134). */
+  def fltConditionAlgebra(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .filter((col("event_type") === "purchase" && col("value") > 100.0) ||
+        (!(col("user_id") < 10) && col("event_type") =!= "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  // =================================================== §2.3 transformers
+
+  /** ValueProjection: explode many_values + merge additional_values
+    * (reference nodestream/pipeline/transformers/value_projection.py:7-25). */
+  def tfmValueProjection(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"), col("lang"))
+
+  /** ExpandJsonField (reference …/transformers/expand_json_field.py:8-40). */
+  def tfmExpandJson(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** SwitchTransformer: route by normalized key with default
+    * (reference …/transformers/transformer.py:126-163). */
+  def tfmSwitch(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").select(
+      col("event_id"),
+      when(col("event_type") === "purchase", col("value").cast("decimal(18,2)") * 2)
+        .when(col("event_type") === "signup", col("value").cast("decimal(18,2)") + 10)
+        .otherwise(col("value").cast("decimal(18,2)")).cast("double").as("routed_value"))
+
+  /** find_many key-zip: arrays_zip + explode, the MultiNodeKeySearchAlgorithm
+    * (reference …/relationship_interpretation.py:50-81). */
+  def tfmFindManyZip(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          array(lit("lang"), lit("source")),
+          array(col("lang"), col("source")))).as("kv"))
+      .select(col("doc_id"), col("kv.0").as("k"), col("kv.1").as("v"))
+
+  /** SourceNodeInterpretation: typed node rows with lowercased keys and
+    * default-normalized props (reference
+    * …/interpretations/source_node_interpretation.py:18-178). */
+  def tfmInterpretSourceNode(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      lit("Document").as("node_type"),
+      TextOps.lowercaseStrings(concat(col("source"), lit("-"), col("doc_id"))).as("node_key"),
+      col("n_chars").as("prop_n_chars"),
+      TextOps.lowercaseStrings(col("lang")).as("prop_lang"))
+
+  /** RelationshipInterpretation: doc -> Language edges, default cardinality
+    * one-edge-per-type (dedup), (reference …/relationship_interpretation.py:84-280). */
+  def tfmInterpretRelationship(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      concat(lit("doc-"), col("doc_id")).as("from_key"),
+      lit("IN_LANGUAGE").as("rel_type"),
+      TextOps.lowercaseStrings(col("lang")).as("to_key"))
+      .distinct()
+
+  // ============================================ §2.4 expression providers
+
+  /** !format with null-on-null-sub semantics (reference
+    * …/value_providers/string_format_value_provider.py:13-49). */
+  def expFormat(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("source"), lit(":"), col("lang"), lit(":"), col("n_chars")).as("formatted"))
+
+  /** !regex group extraction, null when no match
+    * (…/regex_value_provider.py:10-36; Spark returns "" — wrapped to null). */
+  def expRegexExtract(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").select(
+      col("event_id"),
+      nullif(regexp_extract(col("event_type"), "^([a-z]+)u", 1), lit("")).as("g1"))
+
+  /** !cast (…/cast_value_provider.py:10-36). */
+  def expCast(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      col("n_chars").cast("string").as("as_str"),
+      col("n_chars").cast("double").as("as_double"),
+      (pmod(col("n_chars"), lit(2)) === 0).as("as_bool"))
+
+  /** !normalize — all four reference normalizers
+    * (nodestream/pipeline/normalizers/). */
+  def expNormalize(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.uppercaseStrings(col("lang")).as("upper_lang"),
+      TextOps.trimWhitespace(concat(lit("  "), col("source"), lit("  "))).as("trimmed"),
+      TextOps.removeTrailingDots(concat(col("source"), lit("..."))).as("no_dots"))
+
+  /** !mapping indirect lookup (…/mapping_value_provider.py:13-49). */
+  def expMapping(s: SparkSession, dir: String): DataFrame = {
+    val m = typedLit(Map("en" -> "english", "de" -> "german", "es" -> "spanish",
+      "fr" -> "french", "zh" -> "chinese"))
+    tbl(s, dir, "documents").select(
+      col("doc_id"), coalesce(element_at(m, col("lang")), lit("unknown")).as("lang_name"))
+  }
+
+  // ============================= §2.5 write-path semantics (as relational)
+
+  /** OperationDebouncer: last-write-wins per key over an ordered stream
+    * (reference nodestream/databases/operation_debouncer.py:13-101). */
+  def dbnDebounceLastWins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    tbl(s, dir, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
+        col("value").cast("decimal(18,2)").cast("double").as("last_value"))
+  }
+
+  /** EAGER upsert merge of a batch over a base (creation_rules.py EAGER):
+    * matched update + unmatched insert, expressed as the same full-outer
+    * coalesce the MERGE executor uses. */
+  def dbnUpsertEager(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), (col("n_chars") * 10).as("b_n_chars"), lit("xx").as("b_lang"))
+    base.join(batch, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("b_n_chars"), col("n_chars")).as("n_chars"),
+        coalesce(col("b_lang"), col("lang")).as("lang"))
+  }
+
+  /** MATCH_ONLY: update only where key exists (left-semi against base). */
+  def dbnMatchOnly(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("n_chars"))
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), (col("n_chars") * 10).as("b_n_chars"))
+    base.join(batch, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("b_n_chars"), col("n_chars")).as("n_chars"))
+  }
+
+  /** TTL delete (model/ttl.py): drop events older than a cutoff. */
+  def dbnTtl(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .filter(col("ts") >= to_timestamp(lit("2024-03-01 00:00:00")))
+      .select(col("event_id"), col("user_id"))
+
+  // ==================================== relational core (the implicit work)
+
+  def aggPricing(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+
+  def joinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = tbl(s, dir, "orders")
+    val l = tbl(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      // decimal-from-the-start: double→decimal rounding of a *product* is
+      // engine-dependent; converting the 2dp inputs first is exact everywhere
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+      .filter(col("revenue") > 100000.0)
+  }
+
+  def winRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    tbl(s, dir, "lineitem").filter(col("l_suppkey") < 20)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_qty"))
+  }
+
+  // ===================================== training-data ops: deduplication
+
+  def ddpExact(s: SparkSession, dir: String): DataFrame =
+    DedupOps.exactDedup(tbl(s, dir, "documents")).select(col("doc_id"), col("dup_count"))
+
+  def ddpJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    DedupOps.jaccardPairs(
+      tbl(s, dir, "documents").filter(col("doc_id") < 300),
+      blockCols = Seq("lang", "source"), threshold = 0.5)
+
+  def ddpMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashLshPairs(tbl(s, dir, "documents"), bands = 4, rowsPerBand = 3,
+      shingleN = 3, verifyThreshold = 0.6)
+
+  def ddpSimhash(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), DedupOps.simHash(col("text")).as("simhash"))
+
+  def ddpEmbedCosineDup(s: SparkSession, dir: String): DataFrame =
+    AnnOps.cosineNearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.2, planes = 4)
+
+  // ===================================== training-data ops: similarity
+
+  def annBruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    AnnOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 10)
+  }
+
+  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    AnnOps.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5, planes = 6)
+  }
+
+  // ===================================== training-data ops: text analysis
+
+  def txtLangId(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
+
+  def txtQuality(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.wsTokenCount(col("text")).as("n_words"),
+      TextOps.qualityScore(col("text")).as("quality"))
+
+  def txtTokens(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+      TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+
+  def txtFingerprint(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id"), TextOps.fingerprint64(col("text")).as("fp"))
+
+  // ===================================== training-data ops: multimodal
+
+  def mmDecodeMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MultimodalOps.decodeMeta(MultimodalOps.mediaFromDocs(tbl(s, dir, "documents")))
+      .toDF().select(col("media_id"), col("mime"), col("byte_len"),
+        col("width"), col("height"), col("n_frames"))
+  }
+}

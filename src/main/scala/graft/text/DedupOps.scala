@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines. All shapes are
+ * shuffle-conscious: exact dedup is one hash aggregation; MinHash-LSH and
+ * SimHash candidate generation bucket *before* any pairwise work so the
+ * quadratic step only runs inside small buckets (the scale path for 10^12
+ * docs); nothing ever collects to the driver.
+ */
+object DedupOps {
+
+  /** Exact dedup by full text: keep the smallest id per text. One shuffle
+    * (hash partial-agg both sides of the exchange). */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col(textCol), col("dup_count"))
+
+  /** Distinct lowercase word set of a text column (the 1-gram shingle set). */
+  def wordSet(textCol: org.apache.spark.sql.Column) =
+    array_distinct(filter(split(lower(trim(textCol)), "\\s+"), w => length(w) > 0))
+
+  /** Word n-gram shingles (space-joined windows of n consecutive words). */
+  def shingles(textCol: org.apache.spark.sql.Column, n: Int) = {
+    val words = split(lower(trim(textCol)), "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /**
+   * Pairwise n-gram Jaccard similarity over candidate pairs sharing a join
+   * key (e.g. same language+source). Self-join stays bounded because the
+   * caller picks the blocking key; returns (id_a, id_b, jaccard) with a<b.
+   */
+  def jaccardPairs(
+      docs: DataFrame,
+      blockCols: Seq[String],
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val withSet = docs.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+ wordSet(col(textCol)).as("ws"): _*)
+    val a = withSet.toDF(withSet.columns.map(c => s"a_$c"): _*)
+    val b = withSet.toDF(withSet.columns.map(c => s"b_$c"): _*)
+    val joinCond = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
+      .reduce(_ && _) && col("a_id") < col("b_id")
+    a.join(b, joinCond)
+      .select(
+        col("a_id").as("id_a"), col("b_id").as("id_b"),
+        round(
+          size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
+            size(array_union(col("a_ws"), col("b_ws"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** k MinHash values of a shingle set: min over shingles of
+    * xxhash64(shingle, seed_i). Deterministic, codegen'd, no UDF. */
+  def minHashes(shingleCol: org.apache.spark.sql.Column, k: Int) =
+    (0 until k).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i)))).as(s"mh_$i")
+    }
+
+  /**
+   * MinHash-LSH near-duplicate candidates: shingle → k minhashes → `bands`
+   * bands of `rowsPerBand` hashes → band-bucket join. Only docs sharing a
+   * (band, bucket-hash) collide; the pairwise verify then computes true
+   * Jaccard on just those pairs. This is the standard LSH layout: buckets
+   * shuffle-partition evenly, pairwise work is bucket-local.
+   */
+  def minhashLshPairs(
+      docs: DataFrame,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3,
+      verifyThreshold: Double = 0.7,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id") +: col("sh") +: minHashes(col("sh"), k): _*)
+    val banded = sigs.select(
+      col("id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
+    val l = banded.toDF("a_id", "a_sh", "band", "bucket")
+    val r = banded.toDF("b_id", "b_sh", "band", "bucket")
+    l.join(r, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double"), 4).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= verifyThreshold)
+  }
+
+  /** 64-bit SimHash over the word set: per-bit majority vote of word hashes,
+    * built from integer column math only. */
+  def simHash(textCol: org.apache.spark.sql.Column) = {
+    val hashes = transform(wordSet(textCol), w => xxhash64(w))
+    // bit b of the simhash = 1 iff sum over words of sign(bit b) > 0
+    (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines, all pure
+ * `org.apache.spark.sql.functions` column expressions (whole-stage codegen,
+ * no UDFs): language id, quality scoring, token counting, fingerprinting.
+ *
+ * These extend the reference's normalizer/value-provider expression layer
+ * (reference nodestream/pipeline/normalizers and value_providers dirs) with the
+ * operations a 100 TB tokenization pipeline needs.
+ */
+object TextOps {
+
+  /** Normalizers — 1:1 with the reference's four normalizers
+    * (reference nodestream/pipeline/normalizers/…:6-8 each). */
+  def lowercaseStrings(c: Column): Column = lower(c)
+  def uppercaseStrings(c: Column): Column = upper(c)
+  def trimWhitespace(c: Column): Column = trim(c)
+  def removeTrailingDots(c: Column): Column = regexp_replace(c, "\\.+$", "")
+
+  /** Occurrences of `needle` in `hay` — integer, engine-portable. */
+  def countOccurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), ""))) /
+      needle.length).cast("int")
+
+  /** Marker words per language for the n-gram-heuristic language id.
+    * Space-padded so they only hit whole words. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " los ", " una "),
+    "fr" -> Seq(" le ", " les ", " des "))
+
+  /**
+   * Heuristic language id: count language-marker hits, argmax with
+   * deterministic tie-break on language code; "und" (undetermined) when no
+   * marker hits at all.
+   */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = langMarkers.map { case (lang, markers) =>
+      val s = markers.map(m => countOccurrences(padded, m)).reduce(_ + _)
+      struct(s.as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*) // max by (score, lang) — deterministic
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token estimate: runs of lowercase letters, runs of digits, and
+    * single other non-space characters each count as one token. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Quality-score components + a composite in [0,1], rounded for
+    * cross-engine float determinism. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val words = wsTokenCount(text)
+    val punct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+    val stop = Seq(" the ", " and ", " of ", " a ", " to ")
+      .map(m => countOccurrences(concat(lit(" "), text, lit(" ")), m)).reduce(_ + _)
+    val lenScore = least(len.cast("double") / 500.0, lit(1.0))
+    val punctRatio = punct.cast("double") / greatest(words, lit(1)).cast("double")
+    val stopRatio = least(stop.cast("double") * 10.0 / greatest(words, lit(1)), lit(1.0))
+    round(lenScore * 0.4 + least(punctRatio, lit(1.0)) * 0.2 + stopRatio * 0.4, 4)
+  }
+
+  /**
+   * Order-sensitive rolling document fingerprint: polynomial position-weighted
+   * hash over the character codes of the first 64 chars — pure integer math
+   * so an independent SQL engine reproduces it exactly.
+   */
+  def fingerprint64(text: Column): Column = {
+    val prefix = substring(text, 1, 64)
+    aggregate(
+      sequence(lit(1), greatest(length(prefix), lit(1))),
+      lit(0L),
+      (acc, i) => pmod(acc * 131 + coalesce(ascii(prefix.substr(i, lit(1))), lit(0)), lit(1000000007L)))
+  }
+}
