@@ -52,6 +52,10 @@ object SparkEntry {
     "maint_merge" -> ((s, d) => MaintPipelines.mergeRoundtrip(s, d)),
     "maint_delete" -> ((s, d) => MaintPipelines.deleteRoundtrip(s, d)),
     "maint_expire" -> ((s, d) => MaintPipelines.expireAndScan(s, d)),
+    "maint_pipeline_yaml" -> ((s, d) => MaintPipelines.pipelineYamlRoundtrip(s, d)),
+    "maint_schema_evolution" -> ((s, d) => MaintPipelines.schemaEvolutionRoundtrip(s, d)),
+    "maint_incremental" -> ((s, d) => MaintPipelines.incrementalRoundtrip(s, d)),
+    "maint_stream_append" -> ((s, d) => MaintPipelines.streamAppendRoundtrip(s, d)),
     // dedup
     "ddp_exact" -> (Q.ddpExact _),
     "ddp_jaccard_pairs" -> (Q.ddpJaccardPairs _),
@@ -123,6 +127,10 @@ object SparkEntry {
     "maint_hilbert" -> MaintPipelines.baseOracle,
     "maint_expire" -> MaintPipelines.baseOracle,
     "maint_merge" -> MaintPipelines.mergeOracle,
+    "maint_pipeline_yaml" -> MaintPipelines.baseOracle,
+    "maint_schema_evolution" -> MaintPipelines.schemaEvolutionOracle,
+    "maint_incremental" -> MaintPipelines.incrementalOracle,
+    "maint_stream_append" -> MaintPipelines.streamAppendOracle,
     "maint_delete" -> MaintPipelines.deleteOracle,
     "ddp_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text",

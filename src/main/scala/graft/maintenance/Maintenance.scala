@@ -157,7 +157,8 @@ object Maintenance {
       table: TokenTable,
       batch: DataFrame,
       rule: CreationRule.Value = CreationRule.Eager,
-      targetFileBytes: Long = DefaultTargetFileBytes): Snapshot = {
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
     import org.apache.spark.sql.types.LongType
 
     val withSeq =
@@ -181,7 +182,7 @@ object Maintenance {
       // Blind append — no join, no file rewrite.
       val added = table.stageWrite(
         debounced.filter(col("_op") === "upsert").drop("_op"), s"merge-append-${java.util.UUID.randomUUID()}")
-      val snap = table.commit("merge", added, summary = Map("rule" -> "create"))
+      val snap = table.commit("merge", added, summary = Map("rule" -> "create") ++ extraSummary)
       debounced.unpersist()
       return snap
     }
@@ -213,10 +214,14 @@ object Maintenance {
       // MatchOnly inserts nothing; Eager keeps batch-only rows as inserts
       .filter(coalesce(col("_b_present"), lit(false)) || col("tokens").isNotNull)
       .select(
-        col("doc_id"),
-        coalesce(col("_b_tokens"), col("tokens")).as("tokens"),
-        coalesce(col("_b_n_tok"), col("n_tok")).as("n_tok"),
-        coalesce(col("_b_source"), col("source")).as("source"))
+        Seq(
+          col("doc_id"),
+          coalesce(col("_b_tokens"), col("tokens")).as("tokens"),
+          coalesce(col("_b_n_tok"), col("n_tok")).as("n_tok"),
+          coalesce(col("_b_source"), col("source")).as("source")) ++
+          // evolved extra columns ride along from the target side (null for
+          // freshly inserted rows — batch carries only the canonical shape)
+          target.columns.filterNot(Set("doc_id", "tokens", "n_tok", "source")).map(col): _*)
 
     // Output sizing + token-mass balanced range partitioning on doc_id.
     val outBytes = touched.map(_.bytes).sum + estimateBatchBytes(touched, live, debounced)
@@ -234,7 +239,8 @@ object Maintenance {
     })
     Failpoints.hit("merge.before-commit")
     val snap = table.commit("merge", staged, touchedPaths,
-      summary = Map("rule" -> rule.toString.toLowerCase, "touched-files" -> touched.size.toString))
+      summary = Map("rule" -> rule.toString.toLowerCase,
+        "touched-files" -> touched.size.toString) ++ extraSummary)
     ledger.clear()
     debounced.unpersist()
     snap
@@ -362,7 +368,7 @@ object Maintenance {
 
   // ---------------------------------------------------------------- helpers
 
-  private def binPack(files: Seq[DataFileMeta], targetBytes: Long): Seq[Seq[DataFileMeta]] = {
+  private[graft] def binPack(files: Seq[DataFileMeta], targetBytes: Long): Seq[Seq[DataFileMeta]] = {
     val sorted = files.sortBy(-_.bytes)
     val bins = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[DataFileMeta], Long)]()
     sorted.foreach { f =>

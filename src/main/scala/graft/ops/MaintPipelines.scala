@@ -133,6 +133,100 @@ object MaintPipelines {
     verifiableScan(spark, t)
   }
 
+  def pipelineYamlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    val yaml =
+      """- implementation: compact
+        |  arguments: { target_file_bytes: 16777216, small_file_threshold: 16777216 }
+        |- implementation: zorder
+        |  arguments: { columns: [doc_id, source, n_tok], target_file_bytes: 1048576 }
+        |- implementation: expire_snapshots
+        |  arguments: { retain_last: 1 }
+        |- implementation: remove_orphans
+        |""".stripMargin
+    graft.plans.PipelineRunner.run(spark, t, graft.plans.PipelineDsl.parse(yaml))
+    verifiableScan(spark, t)
+  }
+
+  /** Metadata-only schema evolution: add + rename, then writes under the new
+    * schema coexisting with pre-evolution files (field-id projection). */
+  def schemaEvolutionRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.table.{AddColumn, RenameColumn}
+    val t = freshTable(spark, sfDir)
+    t.evolveSchema(Seq(AddColumn("quality", "DOUBLE")))
+    t.evolveSchema(Seq(RenameColumn("quality", "q")))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val appended = docs.filter(pmod(col("doc_id"), lit(11)) === 4)
+      .select(
+        format_string("doc%012d", col("doc_id") + 20000000).as("doc_id"),
+        (col("doc_id") + 20000000).as("_id"),
+        (lit(8) + pmod(col("n_chars"), lit(61))).cast("int").as("n_tok"),
+        col("source"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), col("n_tok") - 1),
+          j => pmod(col("_id") * 17 + j, lit(40009)).cast("int")).as("tokens"),
+        col("n_tok"), col("source"),
+        (col("n_tok") * 0.5).as("q"))
+    t.commit("append", t.stageWrite(appended, "evolved-append"))
+    t.scan(spark).select(
+      expr("CAST(substring(doc_id, 4) AS BIGINT)").as("doc_id"),
+      col("n_tok"),
+      aggregate(col("tokens"), lit(0L), (acc, x) => acc + x).as("tok_sum"),
+      col("source"), col("q"))
+  }
+
+  /** Incremental maintenance ticks: compact only what arrived since the
+    * consumer's cursor (the reference's stream/Flush loop as a planner mode). */
+  def incrementalRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    graft.streaming.Incremental.compactTick(spark, t,
+      targetFileBytes = 16L * 1024 * 1024, smallFileThreshold = 512L * 1024 * 1024)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val appended = docs.filter(pmod(col("doc_id"), lit(11)) === 4)
+      .select(
+        format_string("doc%012d", col("doc_id") + 20000000).as("doc_id"),
+        (col("doc_id") + 20000000).as("_id"),
+        (lit(8) + pmod(col("n_chars"), lit(61))).cast("int").as("n_tok"),
+        col("source"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), col("n_tok") - 1),
+          j => pmod(col("_id") * 17 + j, lit(40009)).cast("int")).as("tokens"),
+        col("n_tok"), col("source"))
+      .repartition(4)
+    t.commit("append", t.stageWrite(appended, "inc-append"))
+    graft.streaming.Incremental.compactTick(spark, t,
+      targetFileBytes = 16L * 1024 * 1024, smallFileThreshold = 512L * 1024 * 1024)
+    verifiableScan(spark, t)
+  }
+
+  /** Structured-Streaming ingest into the table: file-source micro-batches,
+    * each an atomic append snapshot (micro-batch boundary == the reference's
+    * Flush, SURVEY.md §2.6). */
+  def streamAppendRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    updateBatch(spark, sfDir).filter(col("_op") === "upsert").drop("_op")
+      .write.mode("overwrite").parquet(dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-tbl").toString
+    val t = TokenTable.create(spark, s"$root/tbl")
+    val stream = spark.readStream
+      .schema(TokenTable.sequenceSchema)
+      .option("maxFilesPerTrigger", 2) // several micro-batches
+      .parquet(dir)
+    val q = graft.streaming.Incremental.streamAppend(
+      stream, s"$root/tbl", s"$root/ckpt")
+    q.processAllAvailable(); q.stop()
+    t.refresh()
+    verifiableScanMerged(spark, t)
+  }
+
+  /** Scan for tables whose tokens use the update stream (mult=17, m=40009). */
+  private def verifiableScanMerged(spark: SparkSession, t: TokenTable): DataFrame =
+    t.scan(spark).select(
+      expr("CAST(substring(doc_id, 4) AS BIGINT)").as("doc_id"),
+      col("n_tok"),
+      aggregate(col("tokens"), lit(0L), (acc, x) => acc + x).as("tok_sum"),
+      col("source"))
+
   // ----- shared oracle fragments (DuckDB SQL) -----------------------------
 
   /** Closed-form token sum for stream (mult, mod) at length n over doc d. */
@@ -158,6 +252,29 @@ object MaintPipelines {
        |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM upd
        |UNION ALL
        |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM ins""".stripMargin
+
+  /** Appended-batch fragment: docs with doc_id % 11 = 4 shifted by 20M,
+    * token stream (17, 40009). */
+  private val appendedSql =
+    s"""SELECT doc_id + 20000000 AS doc_id, $nTok2Sql AS n_tok,
+       |  CAST(${tokSumSql("doc_id + 20000000", nTok2Sql, 17, 40009)} AS BIGINT) AS tok_sum, source
+       |FROM documents WHERE doc_id % 11 = 4""".stripMargin
+
+  val incrementalOracle: String = s"$baseOracle\nUNION ALL\n$appendedSql"
+
+  val schemaEvolutionOracle: String =
+    s"""SELECT doc_id, n_tok, tok_sum, source, CAST(NULL AS DOUBLE) AS q FROM ($baseOracle)
+       |UNION ALL
+       |SELECT doc_id, n_tok, tok_sum, source, n_tok * 0.5 AS q FROM ($appendedSql)""".stripMargin
+
+  val streamAppendOracle: String =
+    s"""SELECT doc_id, $nTok2Sql AS n_tok,
+       |  CAST(${tokSumSql("doc_id", nTok2Sql, 17, 40009)} AS BIGINT) AS tok_sum, source
+       |FROM documents WHERE doc_id % 7 = 1
+       |UNION ALL
+       |SELECT doc_id + 10000000 AS doc_id, $nTok2Sql AS n_tok,
+       |  CAST(${tokSumSql("doc_id + 10000000", nTok2Sql, 17, 40009)} AS BIGINT) AS tok_sum, source
+       |FROM documents WHERE doc_id % 7 = 2""".stripMargin
 
   val deleteOracle: String =
     s"""SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.maintenance.{CreationRule, Maintenance}
+import graft.table.{DataFileMeta, TokenTable}
+
+/**
+ * Incremental + streaming maintenance — the Spark recast of nodestream's
+ * stream semantics (SURVEY.md §2.6): the reference's only control signal is
+ * `Flush`, emitted when a poll returns empty and driving a writer flush
+ * (reference nodestream/pipeline/extractors/streams/extractor.py:47-99,
+ * nodestream/pipeline/writers.py:18-26). Here a *micro-batch boundary is the
+ * Flush*: each invocation processes exactly the table state added since the
+ * last checkpoint, commits, and records the new position.
+ */
+object Incremental {
+
+  /** Durable per-consumer position: last snapshot this consumer processed.
+    * Stored in the table's own metadata dir (the engine-owned checkpoint
+    * store — nodestream ObjectStore analogue,
+    * reference nodestream/pipeline/object_storage.py:143-344). */
+  final class SnapshotCursor(table: TokenTable, consumer: String) {
+    private val path = new Path(table.metadataDir, s"cursor-$consumer.text")
+    def get(): Option[Long] =
+      if (table.fs.exists(path)) Some(TokenTable.readString(table.fs, path).trim.toLong)
+      else None
+    def set(snapshotId: Long): Unit =
+      TokenTable.writeString(table.fs, path, snapshotId.toString, overwrite = true)
+  }
+
+  /** Data files present in the current snapshot but not in `sinceSnapshot`
+    * (None = everything). This is a pure manifest diff — no data IO. */
+  def newFilesSince(table: TokenTable, sinceSnapshot: Option[Long]): Seq[DataFileMeta] = {
+    val current = table.liveFiles()
+    sinceSnapshot match {
+      case None => current
+      case Some(id) =>
+        table.metadata.snapshot(id) match {
+          case None => current // expired base snapshot: full reprocess
+          case Some(old) =>
+            val oldPaths = table.manifestEntries(old).map(_.path).toSet
+            current.filterNot(f => oldPaths.contains(f.path))
+        }
+    }
+  }
+
+  /**
+   * One incremental-maintenance tick: compact only files appended since this
+   * consumer's last processed snapshot (small ones below `smallFileThreshold`),
+   * then advance the cursor. Returns the number of files rewritten. Repeated
+   * ticks with no new appends are no-ops — the idle poll of the reference's
+   * stream loop.
+   */
+  def compactTick(
+      spark: SparkSession,
+      table: TokenTable,
+      consumer: String = "incremental-compact",
+      targetFileBytes: Long = Maintenance.DefaultTargetFileBytes,
+      smallFileThreshold: Long = 32L * 1024 * 1024): Int = {
+    val cursor = new SnapshotCursor(table, consumer)
+    val fresh = newFilesSince(table, cursor.get())
+      .filter(_.bytes < smallFileThreshold)
+    val rewritten =
+      if (fresh.size < 2) 0
+      else {
+        // stage + commit only the freshly appended files
+        val input = table.readFiles(spark, fresh)
+        val nOut = math.max(1, math.ceil(
+          fresh.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
+        val staged = table.stageWrite(
+          Maintenance.repartitionByTokenMass(input, nOut),
+          s"inc-compact-${java.util.UUID.randomUUID()}")
+        table.commit("compact", staged, fresh.map(_.path).toSet,
+          summary = Map("mode" -> "incremental", "consumer" -> consumer))
+        fresh.size
+      }
+    table.metadata.currentSnapshotId.foreach(cursor.set)
+    rewritten
+  }
+
+  /**
+   * Structured-Streaming ingest: every micro-batch of `(doc_id, tokens,
+   * n_tok, source)` rows is committed as one atomic append snapshot —
+   * `foreachBatch` commit == the reference's Flush-driven writer flush
+   * (nodestream/databases/writer.py:85-99). Exactly-once at the table level:
+   * a batch id already recorded in the snapshot log is skipped on replay.
+   */
+  def streamAppend(
+      stream: DataFrame,
+      tableRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t = TokenTable.load(batch.sparkSession, tableRoot)
+        val already = t.metadata.snapshots.exists(
+          _.summary.get("stream-batch-id").contains(batchId.toString))
+        if (!already && !batch.isEmpty) {
+          val staged = t.stageWrite(
+            batch.select("doc_id", "tokens", "n_tok", "source"),
+            s"stream-batch-$batchId-${java.util.UUID.randomUUID()}")
+          t.commit("append", staged,
+            summary = Map("stream-batch-id" -> batchId.toString))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming upsert: each micro-batch MERGEs into the table (idempotent
+    * per batch id, last-write-wins inside the batch via the debouncer). */
+  def streamMerge(
+      stream: DataFrame,
+      tableRoot: String,
+      checkpointDir: String,
+      rule: CreationRule.Value = CreationRule.Eager,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t = TokenTable.load(batch.sparkSession, tableRoot)
+        val already = t.metadata.snapshots.exists(
+          _.summary.get("stream-batch-id").contains(batchId.toString))
+        if (!already && !batch.isEmpty) {
+          // batch-id tag in the snapshot summary makes replays idempotent
+          Maintenance.mergeInto(batch.sparkSession, t, batch, rule,
+            extraSummary = Map("stream-batch-id" -> batchId.toString))
+        }
+        ()
+      }
+      .start()
+  }
+}

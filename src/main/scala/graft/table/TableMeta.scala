@@ -35,7 +35,20 @@ final case class DataFileMeta(
     sumNTok: Long,
     sources: Seq[String],
     minZKey: Option[Long] = None,
-    maxZKey: Option[Long] = None)
+    maxZKey: Option[Long] = None,
+    schemaId: Option[Int] = None) { // schema version at write time; None = 0
+  def schemaIdOr0: Int = schemaId.getOrElse(0)
+}
+
+/** One entry of the schema log: immutable (id, schema, name->fieldId map).
+  * Field-ids make renames safe: a data file written under schema v0 is
+  * projected into the current schema by id, not by name — the same design
+  * choice as Iceberg, and the table-format recast of nodestream's migration
+  * DAG (reference nodestream/schema/migrations/migrations.py:10-127). */
+final case class SchemaVersion(
+    schemaId: Int,
+    schemaJson: String,
+    fieldIds: Map[String, Int])
 
 final case class ManifestMeta(path: String, addedFiles: Int, records: Long, bytes: Long)
 
@@ -50,11 +63,14 @@ final case class Snapshot(
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
-    schemaJson: String, // Spark StructType json, field order fixed
+    schemaJson: String, // current Spark StructType json, field order fixed
     sortOrder: Seq[String], // declared clustering, e.g. Seq("zorder(doc_id,source,n_tok)")
     currentSnapshotId: Option[Long],
     snapshots: Seq[Snapshot],
-    properties: Map[String, String]) {
+    properties: Map[String, String],
+    // schema evolution (absent on v0 tables: single schema 0 inferred)
+    currentSchemaId: Option[Int] = None,
+    schemaLog: Option[Seq[SchemaVersion]] = None) {
 
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
@@ -63,6 +79,23 @@ final case class TableMetadata(
 
   def withSnapshot(s: Snapshot): TableMetadata =
     copy(currentSnapshotId = Some(s.snapshotId), snapshots = snapshots :+ s)
+
+  def schemaIdNow: Int = currentSchemaId.getOrElse(0)
+
+  /** Full schema log; entry 0 is synthesized for tables created before
+    * schema evolution existed (fieldIds = field position). */
+  def schemas: Seq[SchemaVersion] = {
+    val logged = schemaLog.getOrElse(Seq.empty)
+    if (logged.exists(_.schemaId == 0)) logged
+    else {
+      val base = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      SchemaVersion(0, schemaJson, base.fieldNames.zipWithIndex.toMap) +: logged
+    }
+  }
+
+  def schemaVersion(id: Int): SchemaVersion =
+    schemas.find(_.schemaId == id).getOrElse(sys.error(s"unknown schema id $id"))
 }
 
 object TableJson {

@@ -107,15 +107,67 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     readFiles(spark, files)
   }
 
+  /** Read data files, projecting every file into the *current* schema by
+    * field-id (rename-safe, like Iceberg): files written under an older
+    * schema version keep their physical column names; we resolve each
+    * current field to the physical name its id had at write time, or null
+    * for columns added since. Single-schema tables take the fast path. */
   def readFiles(spark: SparkSession, files: Seq[DataFileMeta]): DataFrame = {
-    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else
-      spark.read
-        .schema(schema)
-        .parquet(files.map(f => new Path(root, f.path).toString): _*)
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val current = meta.schemaVersion(meta.schemaIdNow)
+    val currentSchema = schema
+    val groups = files.groupBy(_.schemaIdOr0).toSeq.sortBy(_._1)
+    val frames = groups.map { case (sid, fs) =>
+      val paths = fs.map(f => new Path(root, f.path).toString)
+      if (sid == meta.schemaIdNow) {
+        spark.read.schema(currentSchema).parquet(paths: _*)
+      } else {
+        val ver = meta.schemaVersion(sid)
+        val physSchema = DataType.fromJson(ver.schemaJson).asInstanceOf[StructType]
+        val idToPhys: Map[Int, String] = ver.fieldIds.map(_.swap)
+        val raw = spark.read.schema(physSchema).parquet(paths: _*)
+        raw.select(currentSchema.fields.toSeq.map { f =>
+          idToPhys.get(current.fieldIds(f.name)) match {
+            case Some(phys) =>
+              val physType = physSchema(phys).dataType
+              if (physType.sql == f.dataType.sql) col(phys).as(f.name)
+              else col(phys).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+      }
+    }
+    frames.reduce(_.unionByName(_))
   }
 
   def schema: StructType = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+
+  // ------------------------------------------------------- schema evolution
+
+  /** Metadata-only schema evolution: reduce the op stream (create+drop ⇒
+    * no-op, rename chains collapse — the reference's migration reduction,
+    * nodestream/schema/migrations/operations.py:94-149), apply to the
+    * current schema, commit a new schema version. No data file is touched. */
+  def evolveSchema(ops: Seq[SchemaOp]): TableMetadata = {
+    val reduced = SchemaEvolution.reduce(ops)
+    var attempt = 0
+    while (attempt < 5) {
+      val base = refresh()
+      if (reduced.isEmpty) return base
+      val cur = base.schemaVersion(base.schemaIdNow)
+      val curSchema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+      val (newSchema, newIds) = SchemaEvolution.applyOps(curSchema, cur.fieldIds, reduced)
+      val newVer = SchemaVersion(base.schemaIdNow + 1, newSchema.json, newIds)
+      val next = base.copy(
+        schemaJson = newSchema.json,
+        currentSchemaId = Some(newVer.schemaId),
+        schemaLog = Some(base.schemas :+ newVer))
+      if (tryCommitVersion(currentVersion() + 1, next)) { meta = next; return next }
+      attempt += 1
+    }
+    throw new CommitConflictException(s"evolveSchema lost commit race at $root")
+  }
 
   // ---------------------------------------------------------------- writing
 
@@ -126,7 +178,8 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val spark = df.sparkSession
     val stagingDir = new Path(dataDir, jobId)
     df.write.mode("errorifexists").parquet(stagingDir.toString)
-    collectStats(spark, fs, root, stagingDir)
+    collectStats(spark, fs, root, stagingDir, schema)
+      .map(_.copy(schemaId = Some(meta.schemaIdNow)))
   }
 
   def writeManifest(files: Seq[DataFileMeta]): ManifestMeta = {
@@ -342,7 +395,9 @@ object TokenTable {
 
   /** Per-file stats over a staged directory: one columnar pass over the
     * metadata columns only (tokens are never read), grouped by file. */
-  def collectStats(spark: SparkSession, fs: FileSystem, root: Path, stagingDir: Path): Seq[DataFileMeta] = {
+  def collectStats(
+      spark: SparkSession, fs: FileSystem, root: Path, stagingDir: Path,
+      readSchema: StructType = sequenceSchema): Seq[DataFileMeta] = {
     val sizes: Map[String, Long] = {
       val it = fs.listFiles(stagingDir, true)
       val buf = scala.collection.mutable.Map[String, Long]()
@@ -354,7 +409,7 @@ object TokenTable {
       buf.toMap
     }
     if (sizes.isEmpty) return Seq.empty
-    val df = spark.read.schema(sequenceSchema).parquet(stagingDir.toString)
+    val df = spark.read.schema(readSchema).parquet(stagingDir.toString)
     val stats = df
       .select(col("doc_id"), col("n_tok"), col("source"),
         input_file_name().as("_file"))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.gen.SequenceGen
+import graft.streaming.Incremental
+import graft.table.TokenTable
+
+class IncrementalSpec extends SparkSpec {
+
+  test("incremental compact processes only files appended since the cursor") {
+    val root = tmpDir("inc-compact")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 2000, nFiles = 8)
+
+    // tick 1: all 8 seed files are new to this consumer
+    val n1 = Incremental.compactTick(spark, t, smallFileThreshold = 512L * 1024 * 1024)
+    assert(n1 == 8)
+    val filesAfter1 = t.liveFiles().map(_.path).toSet
+
+    // idle tick: nothing new appended -> no-op (the reference's empty poll)
+    assert(Incremental.compactTick(spark, t, smallFileThreshold = 512L * 1024 * 1024) == 0)
+    assert(t.liveFiles().map(_.path).toSet == filesAfter1)
+
+    // append 4 more files; only they are rewritten
+    SequenceGen.appendScattered(spark, t, nDocs = 500, nFiles = 4, seed = 77)
+    val n3 = Incremental.compactTick(spark, t, smallFileThreshold = 512L * 1024 * 1024)
+    assert(n3 == 4)
+    assert(t.scan(spark).count() == 2500)
+    // earlier compacted output untouched
+    assert(filesAfter1.subsetOf(t.liveFiles().map(_.path).toSet))
+  }
+
+  test("streaming append: each micro-batch is one atomic snapshot, idempotent by batch id") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("inc-stream")
+    val t = TokenTable.create(spark, s"$root/tbl")
+    val ckpt = tmpDir("inc-ckpt")
+
+    val mem = MemoryStream[(String, Seq[Int], Int, String)]
+    val df = mem.toDF().toDF("doc_id", "tokens", "n_tok", "source")
+    mem.addData(("s1", Seq(1, 2), 2, "web"), ("s2", Seq(3), 1, "code"))
+    val q1 = Incremental.streamAppend(df, s"$root/tbl", ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    t.refresh()
+    assert(t.scan(spark).count() == 2)
+    assert(t.metadata.snapshots.exists(_.summary.get("stream-batch-id").contains("0")))
+
+    mem.addData(("s3", Seq(4, 5, 6), 3, "web"))
+    val q2 = Incremental.streamAppend(df, s"$root/tbl", ckpt)
+    q2.processAllAvailable(); q2.stop()
+    t.refresh()
+    assert(t.scan(spark).count() == 3)
+    assert(t.scan(spark).filter($"doc_id" === "s3").count() == 1)
+    // two committed stream batches, distinct ids
+    val ids = t.metadata.snapshots.flatMap(_.summary.get("stream-batch-id"))
+    assert(ids.distinct.size == ids.size)
+  }
+
+  test("streaming merge upserts per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("inc-merge")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 100, nFiles = 2)
+    val ckpt = tmpDir("inc-merge-ckpt")
+
+    val mem = MemoryStream[(String, Seq[Int], Int, String)]
+    val df = mem.toDF().toDF("doc_id", "tokens", "n_tok", "source")
+    mem.addData(("doc000000000001", Seq(9, 9), 2, "web"), ("brand-new", Seq(1), 1, "code"))
+    val q = Incremental.streamMerge(df, s"$root/tbl", ckpt)
+    q.processAllAvailable(); q.stop()
+
+    t.refresh()
+    val out = t.scan(spark)
+    assert(out.count() == 101)
+    assert(out.filter($"doc_id" === "doc000000000001").select("n_tok").head().getInt(0) == 2)
+    assert(out.filter($"doc_id" === "brand-new").count() == 1)
+  }
+}
