@@ -18,11 +18,14 @@ object SparkEntry {
     // §2.1 sources
     "src_scan_pushdown" -> (Q.srcScanPushdown _),
     "src_iterable" -> (Q.srcIterable _),
+    "src_sql" -> (Q.srcSql _),
+    "src_ttl_commands" -> (Q.srcTtlCommands _),
     // §2.2 filters
     "flt_values_match" -> (Q.fltValuesMatch _),
     "flt_values_exclude" -> (Q.fltValuesExclude _),
     "flt_regex" -> (Q.fltRegex _),
     "flt_condition_algebra" -> (Q.fltConditionAlgebra _),
+    "flt_schema_enforcer" -> (Q.fltSchemaEnforcer _),
     // §2.3 transformers / interpretations
     "tfm_value_projection" -> (Q.tfmValueProjection _),
     "tfm_expand_json" -> (Q.tfmExpandJson _),
@@ -30,6 +33,8 @@ object SparkEntry {
     "tfm_find_many_zip" -> (Q.tfmFindManyZip _),
     "tfm_interpret_source_node" -> (Q.tfmInterpretSourceNode _),
     "tfm_interpret_relationship" -> (Q.tfmInterpretRelationship _),
+    "tfm_multi_pass" -> (Q.tfmMultiPass _),
+    "tfm_interpreter_full" -> (Q.tfmInterpreterFull _),
     // §2.4 expression providers
     "exp_format" -> (Q.expFormat _),
     "exp_regex_extract" -> (Q.expRegexExtract _),
@@ -50,6 +55,9 @@ object SparkEntry {
     "maint_zorder" -> ((s, d) => MaintPipelines.zorderRoundtrip(s, d)),
     "maint_hilbert" -> ((s, d) => MaintPipelines.hilbertRoundtrip(s, d)),
     "maint_merge" -> ((s, d) => MaintPipelines.mergeRoundtrip(s, d)),
+    "maint_merge_match_only" -> ((s, d) => MaintPipelines.mergeMatchOnlyRoundtrip(s, d)),
+    "maint_merge_create" -> ((s, d) => MaintPipelines.mergeCreateRoundtrip(s, d)),
+    "maint_hooks" -> ((s, d) => MaintPipelines.mergeHooksRoundtrip(s, d)),
     "maint_delete" -> ((s, d) => MaintPipelines.deleteRoundtrip(s, d)),
     "maint_expire" -> ((s, d) => MaintPipelines.expireAndScan(s, d)),
     "maint_pipeline_yaml" -> ((s, d) => MaintPipelines.pipelineYamlRoundtrip(s, d)),
@@ -86,6 +94,20 @@ object SparkEntry {
       "SELECT event_id, event_type FROM events WHERE regexp_matches(event_type, '^(sign|purch)')",
     "flt_condition_algebra" ->
       "SELECT event_id, user_id, event_type FROM events WHERE (event_type = 'purchase' AND value > 100.0) OR (NOT (user_id < 10) AND event_type <> 'error')",
+    "flt_schema_enforcer" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events WHERE event_id % 13 <> 0",
+    "src_sql" ->
+      "SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars FROM documents GROUP BY source",
+    "src_ttl_commands" ->
+      "SELECT source AS object_type, CAST(24*length(source) AS INT) AS expiry_in_hours, CAST(100 AS INT) AS batch_size FROM (SELECT DISTINCT source FROM documents)",
+    "tfm_multi_pass" ->
+      """SELECT 'Document' AS node_type, 'doc-' || CAST(doc_id AS VARCHAR) AS node_key, CAST(n_chars AS BIGINT) AS prop FROM documents
+        |UNION ALL
+        |SELECT 'Language' AS node_type, lower(lang) AS node_key, CAST(NULL AS BIGINT) AS prop FROM (SELECT DISTINCT lang FROM documents)""".stripMargin,
+    "tfm_interpreter_full" ->
+      """SELECT 'Word' AS node_type, lower(unnest(string_split(text, ' '))) AS node_key,
+        |  'APPEARS_IN' AS rel_type, 'doc-' || CAST(doc_id AS VARCHAR) AS to_key, lower(lang) AS prop_lang
+        |FROM documents WHERE doc_id < 30""".stripMargin,
     "tfm_value_projection" ->
       "SELECT doc_id, unnest(string_split(text, ' ')) AS word, lang FROM documents WHERE doc_id < 50",
     "tfm_expand_json" ->
@@ -127,6 +149,9 @@ object SparkEntry {
     "maint_hilbert" -> MaintPipelines.baseOracle,
     "maint_expire" -> MaintPipelines.baseOracle,
     "maint_merge" -> MaintPipelines.mergeOracle,
+    "maint_merge_match_only" -> MaintPipelines.mergeMatchOnlyOracle,
+    "maint_merge_create" -> MaintPipelines.mergeCreateOracle,
+    "maint_hooks" -> MaintPipelines.mergeHooksOracle,
     "maint_pipeline_yaml" -> MaintPipelines.baseOracle,
     "maint_schema_evolution" -> MaintPipelines.schemaEvolutionOracle,
     "maint_incremental" -> MaintPipelines.incrementalOracle,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, element_at}
 import org.apache.spark.sql.types._
 
 /**
@@ -93,6 +93,20 @@ case class CurveIndex(children: Seq[Expression], bits: Int, hilbert: Boolean)
 }
 
 /**
+ * A fully planned clustering shuffle: `keyCol` is the curve key, `routeCol`
+ * routes each row DIRECTLY to its target partition under Spark's hash
+ * partitioning — `df.repartition(nOut, routeCol)` then behaves exactly like
+ * a range partition on the curve key, WITHOUT repartitionByRange's second
+ * full pass over the input (its runtime sampling re-executes the child
+ * plan, i.e. re-decodes every token array). Bounds are token-mass-weighted
+ * quantiles, so partitions carry ~equal token payload even under the 1%
+ * long-document skew (`BASELINE.json.north_rule`: explicit skew handling —
+ * row-count-balanced range partitioning leaves 10-30x heavier straggler
+ * partitions where the curve clusters long documents together).
+ */
+final case class CurvePlan(keyCol: Column, routeCol: Column, nOut: Int)
+
+/**
  * Driver-side planner for clustering keys: computes per-column range bounds
  * from a bounded sample (the same trick `repartitionByRange` uses, but
  * shared across all curve dimensions and reusable across jobs), then builds
@@ -102,15 +116,19 @@ object Clustering {
 
   val DefaultBits = 12 // 3 dims * 12 bits = 36-bit keys, 4096 buckets/dim
 
-  def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = DefaultBits): Column =
-    curveKey(df, cols, bits, hilbert = false)
+  def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = DefaultBits,
+      totalRows: Option[Long] = None): Column =
+    curveKey(df, cols, bits, hilbert = false, totalRows)
 
-  def hilbertKey(df: DataFrame, cols: Seq[String], bits: Int = DefaultBits): Column =
-    curveKey(df, cols, bits, hilbert = true)
+  def hilbertKey(df: DataFrame, cols: Seq[String], bits: Int = DefaultBits,
+      totalRows: Option[Long] = None): Column =
+    curveKey(df, cols, bits, hilbert = true, totalRows)
 
-  def curveKey(df: DataFrame, cols: Seq[String], bits: Int, hilbert: Boolean): Column = {
+  def curveKey(df: DataFrame, cols: Seq[String], bits: Int, hilbert: Boolean,
+      totalRows: Option[Long] = None): Column = {
+    val allBounds = sampleBoundsMulti(df, cols, 1 << bits, totalRows = totalRows)
     val bucketExprs = cols.map { c =>
-      val bounds = sampleBounds(df, c, 1 << bits)
+      val bounds = allBounds(c)
       val nBuckets = bounds.length + 1
       val scale = math.max(1, (1 << bits) / math.max(1, nBuckets))
       RangeBucket(ExpressionUtils.expression(col(c)), bounds, scale): Expression
@@ -118,24 +136,141 @@ object Clustering {
     ExpressionUtils.column(CurveIndex(bucketExprs, bits, hilbert))
   }
 
-  /** Sorted exclusive-upper bounds (internal values) splitting the column's
-    * sampled distribution into <= `buckets` ranges. */
-  def sampleBounds(df: DataFrame, colName: String, buckets: Int, maxSample: Int = 200000): Array[AnyRef] = {
-    val field = df.schema(colName)
-    val sampled = df.select(col(colName)).na.drop()
-      .sample(withReplacement = false, 0.5, seed = 42)
-      .limit(maxSample).collect().map(_.get(0))
-    val full =
-      if (sampled.length >= 1000) sampled
-      else df.select(col(colName)).na.drop().limit(maxSample).collect().map(_.get(0))
-    val conv = CatalystTypeConverters.createToCatalystConverter(field.dataType)
-    val sorted = full.map(v => conv(v)).sortWith { (a, b) =>
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+  /** Per-column sorted exclusive-upper bounds (internal Catalyst values)
+    * splitting each column's sampled distribution into <= `buckets` ranges.
+    * ONE Spark job samples every curve dimension together (metadata columns
+    * only — the token payload is never read). When the caller knows the row
+    * count (table manifests carry it), the sample is a pure fraction —
+    * fully parallel, no serial CollectLimit. */
+  def sampleBoundsMulti(
+      df: DataFrame, colNames: Seq[String], buckets: Int,
+      maxSample: Int = 50000,
+      totalRows: Option[Long] = None): Map[String, Array[AnyRef]] = {
+    val projected = df.select(colNames.map(col): _*)
+    val rows = totalRows match {
+      case Some(n) if n > 0 =>
+        val fraction = math.min(1.0, maxSample.toDouble * 1.2 / n)
+        projected.sample(withReplacement = false, fraction, seed = 42).collect()
+      case _ =>
+        projected.sample(withReplacement = false, 0.5, seed = 42)
+          .limit(maxSample).collect()
     }
-    if (sorted.isEmpty) return Array.empty
-    val n = math.min(buckets - 1, sorted.length)
-    val out = (1 to n).map(i => sorted((i.toLong * sorted.length / (n + 1)).toInt))
-      .distinct.toArray
-    out.map(_.asInstanceOf[AnyRef])
+    colNames.zipWithIndex.map { case (c, i) =>
+      val field = df.schema(c)
+      val conv = CatalystTypeConverters.createToCatalystConverter(field.dataType)
+      val sorted = rows.iterator.map(_.get(i)).filter(_ != null).map(conv)
+        .toArray.sortWith { (a, b) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        }
+      val out: Array[AnyRef] =
+        if (sorted.isEmpty) Array.empty
+        else {
+          val n = math.min(buckets - 1, sorted.length)
+          (1 to n).map(i => sorted((i.toLong * sorted.length / (n + 1)).toInt))
+            .distinct.toArray.map(_.asInstanceOf[AnyRef])
+        }
+      c -> out
+    }.toMap
+  }
+
+  /** Single-column variant (kept for tests/direct callers). */
+  def sampleBounds(df: DataFrame, colName: String, buckets: Int, maxSample: Int = 200000): Array[AnyRef] =
+    sampleBoundsMulti(df, Seq(colName), buckets, maxSample)(colName)
+
+  /**
+   * Plan a clustered shuffle in ONE sample job: per-dimension bucket bounds,
+   * token-mass-weighted partition bounds over the curve key, and a routing
+   * column whose values are Murmur3 preimages of the target partition ids —
+   * so `repartition(nOut, routeCol)` places curve-key range `i` exactly in
+   * partition `i` (verified by `spark_partition_id()` in the spec).
+   *
+   * `weightCol` (e.g. `n_tok`) weights the quantiles; pass None for
+   * row-count balance.
+   */
+  def planCurveShuffle(
+      df: DataFrame, cols: Seq[String], bits: Int, hilbert: Boolean, nOut: Int,
+      totalRows: Option[Long], weightCol: Option[String] = Some("n_tok"),
+      maxSample: Int = 50000): CurvePlan = {
+    val sampleCols = cols ++ weightCol.filterNot(cols.contains)
+    val projected = df.select(sampleCols.map(col): _*)
+    val rows = totalRows match {
+      case Some(n) if n > 0 =>
+        val fraction = math.min(1.0, maxSample.toDouble * 1.2 / n)
+        projected.sample(withReplacement = false, fraction, seed = 42).collect()
+      case _ =>
+        projected.sample(withReplacement = false, 0.5, seed = 42).limit(maxSample).collect()
+    }
+
+    // per-dimension bounds + scales (same scheme as curveKey)
+    val buckets = 1 << bits
+    val converters = sampleCols.map(c =>
+      CatalystTypeConverters.createToCatalystConverter(df.schema(c).dataType))
+    val dims = cols.zipWithIndex.map { case (c, i) =>
+      val sorted = rows.iterator.map(_.get(i)).filter(_ != null).map(converters(i))
+        .toArray.sortWith((a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+      val bounds: Array[AnyRef] =
+        if (sorted.isEmpty) Array.empty
+        else {
+          val n = math.min(buckets - 1, sorted.length)
+          (1 to n).map(j => sorted((j.toLong * sorted.length / (n + 1)).toInt))
+            .distinct.toArray.map(_.asInstanceOf[AnyRef])
+        }
+      val scale = math.max(1, buckets / math.max(1, bounds.length + 1))
+      (bounds, scale)
+    }
+    val keyExpr = CurveIndex(
+      cols.zipWithIndex.map { case (c, i) =>
+        RangeBucket(ExpressionUtils.expression(col(c)), dims(i)._1, dims(i)._2): Expression
+      }, bits, hilbert)
+
+    // curve key of each sampled row, driver-side, with its weight
+    val wIdx = weightCol.map(w => sampleCols.indexOf(w))
+    val keyed: Array[(Long, Long)] = rows.map { r =>
+      val coords = cols.indices.map { i =>
+        val v = r.get(i)
+        if (v == null) 0
+        else Curves.bucketOf(
+          converters(i)(v).asInstanceOf[Comparable[Any]], dims(i)._1) * dims(i)._2
+      }.toArray
+      val k = if (hilbert) Curves.hilbertValue(coords, bits) else Curves.zValue(coords, bits)
+      val w = wIdx.map(j => r.get(j).asInstanceOf[Number].longValue).getOrElse(1L)
+      (k, math.max(w, 1L))
+    }.sortBy(_._1)
+
+    // weighted quantiles -> partition bounds over the curve key
+    val totalMass = keyed.map(_._2).sum.toDouble
+    val perPart = totalMass / nOut
+    val pidBounds = scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var acc = 0.0
+    var nextCut = perPart
+    keyed.foreach { case (k, w) =>
+      acc += w
+      if (acc >= nextCut && pidBounds.size < nOut - 1 &&
+          !pidBounds.lastOption.contains(Long.box(k))) {
+        pidBounds += Long.box(k)
+        nextCut += perPart
+      }
+    }
+    val parts = pidBounds.size + 1 // dedup may shrink below nOut
+
+    // Murmur3 preimages: value v_b with pmod(murmur3_int(v_b, 42), parts) == b,
+    // matching Spark's HashPartitioning for an integer column.
+    val preimages = new Array[Int](parts)
+    val found = new Array[Boolean](parts)
+    var candidate = 0
+    var remaining = parts
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(candidate, 42)
+      val b = ((h % parts) + parts) % parts
+      if (!found(b)) { found(b) = true; preimages(b) = candidate; remaining -= 1 }
+      candidate += 1
+    }
+
+    val keyCol = ExpressionUtils.column(keyExpr)
+    val pid = ExpressionUtils.column(
+      RangeBucket(ExpressionUtils.expression(keyCol), pidBounds.toArray))
+    val route = element_at(
+      org.apache.spark.sql.functions.typedLit(preimages.toSeq), pid + 1)
+    CurvePlan(keyCol, route, parts)
   }
 }

@@ -28,6 +28,9 @@ object Failpoints {
 
 /** Desired physical layout of rewritten data. */
 sealed trait Layout { def describe: String }
+/** Pure bin-pack concatenation — no shuffle, no sort (Iceberg's binpack
+  * strategy): input splits are merged into ~target-size files as-is. */
+case object Concat extends Layout { def describe = "concat" }
 case class SortBy(cols: Seq[String]) extends Layout { def describe = s"sort(${cols.mkString(",")})" }
 case class ZOrder(cols: Seq[String], bits: Int = Clustering.DefaultBits) extends Layout {
   def describe = s"zorder(${cols.mkString(",")})"
@@ -91,7 +94,8 @@ object Maintenance {
           if (table.fs.exists(stagingDir)) table.fs.delete(stagingDir, true) // partial crash leftovers
           val input = table.readFiles(spark, files)
           val nOut = math.max(1, math.ceil(files.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
-          val outs = table.stageWrite(applyLayout(input, layout, nOut), s"$stepId/$unitId")
+          val rows = files.map(_.records).sum
+          val outs = table.stageWrite(applyLayout(input, layout, nOut, rows), s"$stepId/$unitId")
           ledger.record(unitId, outs)
           Failpoints.hit("compact.after-chunk")
           outs
@@ -120,22 +124,33 @@ object Maintenance {
     compact(spark, table, layout, targetFileBytes, smallFileThreshold = None,
       chunks = chunks, operation = "cluster")
 
-  private def applyLayout(input: DataFrame, layout: Layout, nOut: Int): DataFrame = layout match {
+  private def applyLayout(
+      input: DataFrame, layout: Layout, nOut: Int, totalRows: Long): DataFrame = layout match {
+    case Concat =>
+      input.coalesce(nOut)
     case SortBy(cols) =>
       input.repartitionByRange(nOut, cols.map(col): _*)
         .sortWithinPartitions(cols.map(col): _*)
     case ZOrder(cols, bits) =>
-      val k = Clustering.zorderKey(input, cols, bits)
-      input.withColumn("_ck", k)
-        .repartitionByRange(nOut, col("_ck"))
-        .sortWithinPartitions(col("_ck"))
-        .drop("_ck")
+      curveShuffle(input, cols, bits, hilbert = false, nOut, totalRows)
     case Hilbert(cols, bits) =>
-      val k = Clustering.hilbertKey(input, cols, bits)
-      input.withColumn("_ck", k)
-        .repartitionByRange(nOut, col("_ck"))
-        .sortWithinPartitions(col("_ck"))
-        .drop("_ck")
+      curveShuffle(input, cols, bits, hilbert = true, nOut, totalRows)
+  }
+
+  /** Curve re-cluster as a single-scan shuffle: the [[graft.functions.CurvePlan]]
+    * routes rows straight to token-mass-balanced partitions (no
+    * repartitionByRange runtime sampling pass — that would re-decode every
+    * token array once more) and the within-partition sort orders by the key. */
+  private def curveShuffle(
+      input: DataFrame, cols: Seq[String], bits: Int, hilbert: Boolean,
+      nOut: Int, totalRows: Long): DataFrame = {
+    val weight = if (input.columns.contains("n_tok")) Some("n_tok") else None
+    val plan = Clustering.planCurveShuffle(
+      input, cols, bits, hilbert, nOut, Some(totalRows), weight)
+    input.withColumn("_ck", plan.keyCol).withColumn("_rt", plan.routeCol)
+      .repartition(plan.nOut, col("_rt"))
+      .sortWithinPartitions(col("_ck"))
+      .drop("_ck", "_rt")
   }
 
   // ---------------------------------------------------------------- merge
@@ -158,8 +173,24 @@ object Maintenance {
       batch: DataFrame,
       rule: CreationRule.Value = CreationRule.Eager,
       targetFileBytes: Long = DefaultTargetFileBytes,
-      extraSummary: Map[String, String] = Map.empty): Snapshot = {
+      extraSummary: Map[String, String] = Map.empty,
+      preHooks: Seq[String] = Nil,
+      postHooks: Seq[String] = Nil): Snapshot = {
     import org.apache.spark.sql.types.LongType
+
+    // Ingest hooks — arbitrary SQL run before/after the commit against views
+    // of the batch and table state (reference nodestream/model/ingestion_hooks
+    // .py:6-25; before at desired_ingestion.py:37-39, after-flush ordering at
+    // debounced_ingest_strategy.py:76-81).
+    if (preHooks.nonEmpty) {
+      batch.createOrReplaceTempView("graft_merge_batch")
+      table.scan(spark).createOrReplaceTempView("graft_merge_target")
+      preHooks.foreach(spark.sql(_).collect())
+    }
+    def runPostHooks(): Unit = if (postHooks.nonEmpty) {
+      table.scan(spark).createOrReplaceTempView("graft_merge_result")
+      postHooks.foreach(spark.sql(_).collect())
+    }
 
     val withSeq =
       if (batch.columns.contains("_seq")) batch
@@ -184,6 +215,7 @@ object Maintenance {
         debounced.filter(col("_op") === "upsert").drop("_op"), s"merge-append-${java.util.UUID.randomUUID()}")
       val snap = table.commit("merge", added, summary = Map("rule" -> "create") ++ extraSummary)
       debounced.unpersist()
+      runPostHooks()
       return snap
     }
 
@@ -243,6 +275,7 @@ object Maintenance {
         "touched-files" -> touched.size.toString) ++ extraSummary)
     ledger.clear()
     debounced.unpersist()
+    runPostHooks()
     snap
   }
 
@@ -308,8 +341,8 @@ object Maintenance {
   }
   case class SourceIn(sources: Set[String]) extends DeletePredicate {
     def toColumn: Column = col("source").isin(sources.toSeq: _*)
-    def coversFile(f: DataFileMeta): Boolean = f.sources.forall(sources.contains)
-    def intersectsFile(f: DataFileMeta): Boolean = f.sources.exists(sources.contains)
+    def coversFile(f: DataFileMeta): Boolean = f.sourceCovers(sources)
+    def intersectsFile(f: DataFileMeta): Boolean = f.sourceIntersects(sources)
   }
   case class NTokGreaterThan(x: Int) extends DeletePredicate {
     def toColumn: Column = col("n_tok") > x

@@ -116,6 +116,40 @@ object MaintPipelines {
     verifiableScan(spark, t)
   }
 
+  /** MATCH_ONLY: updates land, inserts are dropped, deletes still apply
+    * (creation-rule demotion, reference nodestream/model/creation_rules.py:9-13). */
+  def mergeMatchOnlyRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    Maintenance.mergeInto(spark, t, updateBatch(spark, sfDir), CreationRule.MatchOnly)
+    verifiableScan(spark, t)
+  }
+
+  /** CREATE: blind append — no join, duplicates allowed
+    * (reference creation_rules.py RelationshipCreationRule.CREATE). */
+  def mergeCreateRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    Maintenance.mergeInto(spark, t,
+      updateBatch(spark, sfDir).filter(col("_op") === "upsert"), CreationRule.Create)
+    verifiableScan(spark, t)
+  }
+
+  /** Ingest hooks around the MERGE (reference nodestream/model/ingestion_hooks
+    * .py:6-25): the post-commit hook audits the merged table into a view this
+    * query returns — proving hook ordering (after flush) and visibility. */
+  def mergeHooksRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    Maintenance.mergeInto(spark, t, updateBatch(spark, sfDir),
+      preHooks = Seq(
+        "CREATE OR REPLACE TEMPORARY VIEW merge_audit_before AS " +
+          "SELECT COUNT(*) AS n_rows FROM graft_merge_target"),
+      postHooks = Seq(
+        "CREATE OR REPLACE TEMPORARY VIEW merge_audit AS " +
+          "SELECT (SELECT CAST(n_rows AS BIGINT) FROM merge_audit_before) AS rows_before, " +
+          "CAST(COUNT(*) AS BIGINT) AS rows_after, " +
+          "CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS toks_after FROM graft_merge_result"))
+    spark.table("merge_audit")
+  }
+
   def deleteRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val t = freshTable(spark, sfDir)
     // TTL-style: expire all long documents (metadata-only where provable)
@@ -252,6 +286,29 @@ object MaintPipelines {
        |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM upd
        |UNION ALL
        |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM ins""".stripMargin
+
+  val mergeMatchOnlyOracle: String =
+    s"""WITH base AS (SELECT doc_id, $nTokSql AS n_tok, source FROM documents),
+       |upd AS (SELECT doc_id, $nTok2Sql AS n_tok, source FROM documents WHERE doc_id % 7 = 1)
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source
+       |  FROM base WHERE doc_id % 7 NOT IN (1, 3)
+       |UNION ALL
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM upd""".stripMargin
+
+  val mergeCreateOracle: String =
+    s"""WITH upd AS (SELECT doc_id, $nTok2Sql AS n_tok, source FROM documents WHERE doc_id % 7 = 1),
+       |ins AS (SELECT doc_id + 10000000 AS doc_id, $nTok2Sql AS n_tok, source FROM documents WHERE doc_id % 7 = 2)
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source
+       |  FROM (SELECT doc_id, $nTokSql AS n_tok, source FROM documents)
+       |UNION ALL
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM upd
+       |UNION ALL
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM ins""".stripMargin
+
+  val mergeHooksOracle: String =
+    s"""SELECT (SELECT COUNT(*) FROM documents) AS rows_before,
+       |  COUNT(*) AS rows_after, SUM(CAST(n_tok AS BIGINT)) AS toks_after
+       |FROM ($mergeOracle)""".stripMargin
 
   /** Appended-batch fragment: docs with doc_id % 11 = 4 shifted by 20M,
     * token stream (17, 40009). */

@@ -62,6 +62,39 @@ object QueryCatalog {
         (!(col("user_id") < 10) && col("event_type") =!= "error"))
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** SchemaEnforcer (reference nodestream/pipeline/filters.py:179-363):
+    * infer a JSON schema from a bounded sample, then ENFORCE — drop records
+    * whose `props` no longer conform. Every 13th event is corrupted to give
+    * the enforcer real work. */
+  def fltSchemaEnforcer(s: SparkSession, dir: String): DataFrame = {
+    val mangled = tbl(s, dir, "events").withColumn("props",
+      when(pmod(col("event_id"), lit(13)) === 0,
+        substring(col("props"), 2, 1000000)) // strip '{' -> invalid JSON
+        .otherwise(col("props")))
+    val schema = SchemaEnforce.inferJsonSchema(mangled, "props", sampleN = 100)
+    SchemaEnforce.enforce(mangled, "props", schema)
+      .select(col("event_id"),
+        from_json(col("props"), schema).getField("k").cast("int").as("k"))
+  }
+
+  /** AthenaExtractor analogue (reference …/stores/aws/athena_extractor.py:54-169):
+    * a SQL-text source — the query pushdown IS Spark SQL over a registered view. */
+  def srcSql(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "documents").createOrReplaceTempView("documents_v")
+    s.sql("""SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+             FROM documents_v GROUP BY source""")
+  }
+
+  /** TimeToLiveConfigurationExtractor (reference nodestream/pipeline/extractors
+    * /ttls.py:8-24): a maintenance-command source emitting typed expire
+    * commands — here derived per source partition. */
+  def srcTtlCommands(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("source").as("object_type")).distinct()
+      .select(col("object_type"),
+        (length(col("object_type")) * 24).cast("int").as("expiry_in_hours"),
+        lit(100).as("batch_size"))
+
   // =================================================== §2.3 transformers
 
   /** ValueProjection: explode many_values + merge additional_values
@@ -113,6 +146,38 @@ object QueryCatalog {
       lit("IN_LANGUAGE").as("rel_type"),
       TextOps.lowercaseStrings(col("lang")).as("to_key"))
       .distinct()
+
+  /** MultiSequenceInterpretationPass (reference …/interpretation_passes.py:
+    * 125-168): N independent interpretation pipelines over the same input,
+    * unioned — deep-copy-per-pass becomes unionByName of select pipelines. */
+  def tfmMultiPass(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val passA = docs.select(
+      lit("Document").as("node_type"),
+      concat(lit("doc-"), col("doc_id")).as("node_key"),
+      col("n_chars").cast("long").as("prop"))
+    val passB = docs.select(
+      lit("Language").as("node_type"),
+      TextOps.lowercaseStrings(col("lang")).as("node_key"),
+      lit(null).cast("long").as("prop")).distinct()
+    passA.unionByName(passB)
+  }
+
+  /** The Interpreter centerpiece (reference nodestream/interpreting/
+    * interpreter.py:20-82): iterate_on decomposition (RecordDecomposer,
+    * record_decomposers.py:8-48) then an interpretation pass emitting one
+    * typed row per sub-document — explode + column-building expressions. */
+  def tfmInterpreterFull(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").filter(col("doc_id") < 30)
+      // iterate_on: !jmespath words[*]
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      // variables pass + source-node + relationship interpretations
+      .select(
+        lit("Word").as("node_type"),
+        TextOps.lowercaseStrings(col("word")).as("node_key"),
+        lit("APPEARS_IN").as("rel_type"),
+        concat(lit("doc-"), col("doc_id")).as("to_key"),
+        TextOps.lowercaseStrings(col("lang")).as("prop_lang"))
 
   // ============================================ §2.4 expression providers
 

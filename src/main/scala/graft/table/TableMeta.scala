@@ -32,12 +32,32 @@ final case class DataFileMeta(
     maxDocId: String,
     minNTok: Int,
     maxNTok: Int,
-    sumNTok: Long,
-    sources: Seq[String],
+    sumNTok: Long, // 0 = unknown (footer-derived stats carry no sums)
+    sources: Seq[String], // exact distinct set when known, else empty (see min/maxSource)
     minZKey: Option[Long] = None,
     maxZKey: Option[Long] = None,
-    schemaId: Option[Int] = None) { // schema version at write time; None = 0
+    schemaId: Option[Int] = None, // schema version at write time; None = 0
+    minSource: Option[String] = None, // footer min/max when `sources` is inexact
+    maxSource: Option[String] = None) {
   def schemaIdOr0: Int = schemaId.getOrElse(0)
+
+  /** May this file contain a row whose source is in `target`? (pruning-safe:
+    * returns true when stats can't prove otherwise) */
+  def sourceIntersects(target: Set[String]): Boolean =
+    if (sources.nonEmpty) sources.exists(target.contains)
+    else (minSource, maxSource) match {
+      case (Some(lo), Some(hi)) => target.exists(s => s >= lo && s <= hi)
+      case _                    => true // unknown: cannot prune
+    }
+
+  /** Do stats PROVE every row's source is in `target`? (required for
+    * metadata-only deletes — must never over-claim) */
+  def sourceCovers(target: Set[String]): Boolean =
+    if (sources.nonEmpty) sources.forall(target.contains)
+    else (minSource, maxSource) match {
+      case (Some(lo), Some(hi)) => lo == hi && target.contains(lo)
+      case _                    => false
+    }
 }
 
 /** One entry of the schema log: immutable (id, schema, name->fieldId map).

@@ -92,7 +92,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       nTokRange: Option[(Int, Int)] = None): Seq[DataFileMeta] = {
     liveFiles(snapshotId).filter { f =>
       docIdRange.forall { case (lo, hi) => f.maxDocId >= lo && f.minDocId <= hi } &&
-      sourceIn.forall(s => f.sources.exists(s.contains)) &&
+      sourceIn.forall(s => f.sourceIntersects(s)) &&
       nTokRange.forall { case (lo, hi) => f.maxNTok >= lo && f.minNTok <= hi }
     }
   }
@@ -177,9 +177,14 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   def stageWrite(df: DataFrame, jobId: String): Seq[DataFileMeta] = {
     val spark = df.sparkSession
     val stagingDir = new Path(dataDir, jobId)
+    val t0 = System.nanoTime()
     df.write.mode("errorifexists").parquet(stagingDir.toString)
-    collectStats(spark, fs, root, stagingDir, schema)
+    val t1 = System.nanoTime()
+    val stats = collectStats(spark, fs, root, stagingDir, schema)
       .map(_.copy(schemaId = Some(meta.schemaIdNow)))
+    if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+      System.err.println(f"STEP write ${(t1 - t0) / 1e6}%.0fms stats ${(System.nanoTime() - t1) / 1e6}%.0fms")
+    stats
   }
 
   def writeManifest(files: Seq[DataFileMeta]): ManifestMeta = {
@@ -393,23 +398,113 @@ object TokenTable {
     fs.exists(new Path(root, "metadata/v0.json"))
   }
 
-  /** Per-file stats over a staged directory: one columnar pass over the
-    * metadata columns only (tokens are never read), grouped by file. */
+  /**
+   * Per-file stats over a staged directory, read from parquet FOOTERS only —
+   * no data pass (the Iceberg design: the row groups' column chunk min/max
+   * ARE the file stats). Binary stats may be truncated by the writer; a
+   * truncated min is still a valid lower bound and max an upper bound, which
+   * is all pruning needs. Falls back to a Spark scan for any file whose
+   * footer lacks stats. Footers are read on a bounded thread pool — at
+   * cluster scale this becomes a distributed job over the staged paths.
+   */
   def collectStats(
       spark: SparkSession, fs: FileSystem, root: Path, stagingDir: Path,
       readSchema: StructType = sequenceSchema): Seq[DataFileMeta] = {
-    val sizes: Map[String, Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+
+    val files: Seq[(Path, Long)] = {
       val it = fs.listFiles(stagingDir, true)
-      val buf = scala.collection.mutable.Map[String, Long]()
+      val buf = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-          buf += (st.getPath.toUri.getPath -> st.getLen)
+          buf += ((st.getPath, st.getLen))
       }
-      buf.toMap
+      buf.toSeq
     }
-    if (sizes.isEmpty) return Seq.empty
-    val df = spark.read.schema(readSchema).parquet(stagingDir.toString)
+    if (files.isEmpty) return Seq.empty
+    val conf = spark.sessionState.newHadoopConf()
+
+    def footerStats(p: Path, len: Long): Option[DataFileMeta] = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        if (blocks.isEmpty) return None
+        var records = 0L
+        var minDoc: String = null; var maxDoc: String = null
+        var minSrc: String = null; var maxSrc: String = null
+        var minTok = Int.MaxValue; var maxTok = Int.MinValue
+        val it = blocks.iterator()
+        while (it.hasNext) {
+          val b = it.next()
+          records += b.getRowCount
+          val cit = b.getColumns.iterator()
+          while (cit.hasNext) {
+            val c = cit.next()
+            val s = c.getStatistics
+            if (s == null || s.isEmpty) {
+              c.getPath.toDotString match {
+                case "doc_id" | "n_tok" | "source" => return None // no stats: fall back
+                case _ => ()
+              }
+            } else c.getPath.toDotString match {
+              case "doc_id" =>
+                val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
+                val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+                if (minDoc == null || lo < minDoc) minDoc = lo
+                if (maxDoc == null || hi > maxDoc) maxDoc = hi
+              case "n_tok" =>
+                minTok = math.min(minTok, s.genericGetMin.asInstanceOf[Number].intValue)
+                maxTok = math.max(maxTok, s.genericGetMax.asInstanceOf[Number].intValue)
+              case "source" =>
+                val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
+                val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+                if (minSrc == null || lo < minSrc) minSrc = lo
+                if (maxSrc == null || hi > maxSrc) maxSrc = hi
+              case _ => ()
+            }
+          }
+        }
+        if (minDoc == null || minSrc == null || minTok == Int.MaxValue) None
+        else Some(DataFileMeta(
+          path = relativize(root, p), records = records, bytes = len,
+          minDocId = minDoc, maxDocId = maxDoc,
+          minNTok = minTok, maxNTok = maxTok, sumNTok = 0L,
+          sources = if (minSrc == maxSrc) Seq(minSrc) else Seq.empty,
+          minSource = Some(minSrc), maxSource = Some(maxSrc)))
+      } finally reader.close()
+    }
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(files.size, 16))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = files.map { case (p, len) =>
+      scala.concurrent.Future(footerStats(p, len))
+    }
+    val results =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+
+    val fromFooters = results.flatten
+    val missing = files.map(f => relativize(root, f._1)).toSet -- fromFooters.map(_.path).toSet
+    val fallback =
+      if (missing.isEmpty) Seq.empty
+      else scanStats(spark, fs, root,
+        files.filter(f => missing.contains(relativize(root, f._1))), readSchema)
+    (fromFooters ++ fallback).sortBy(_.path)
+  }
+
+  /** Fallback stats via a columnar scan of the metadata columns (used only
+    * when a footer carries no usable statistics). */
+  private def scanStats(
+      spark: SparkSession, fs: FileSystem, root: Path,
+      files: Seq[(Path, Long)], readSchema: StructType): Seq[DataFileMeta] = {
+    val sizes: Map[String, Long] = files.map { case (p, l) => p.toUri.getPath -> l }.toMap
+    val df = spark.read.schema(readSchema).parquet(files.map(_._1.toString): _*)
     val stats = df
       .select(col("doc_id"), col("n_tok"), col("source"),
         input_file_name().as("_file"))
