@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+
+/**
+ * SQL-facing registration of the engine's custom Catalyst expressions, so
+ * `spark.sql("SELECT zorder_key(a, b, 12)")` works alongside the Column API
+ * — the pattern SURVEY.md §4 reserves for semantics Catalyst lacks. The
+ * bucket coordinates are the caller's responsibility here (ints in
+ * [0, 2^bits)); the table-maintenance path plans bucket bounds from samples
+ * (see [[Clustering.planCurveShuffle]]).
+ */
+object GraftFunctions {
+
+  /** Column API: interleave pre-bucketed int coordinates into a z-order key. */
+  def zorder_key(bits: Int, coords: Column*): Column =
+    ExpressionUtils.column(
+      CurveIndex(coords.map(ExpressionUtils.expression), bits, hilbert = false))
+
+  /** Column API: Hilbert index of pre-bucketed int coordinates. */
+  def hilbert_key(bits: Int, coords: Column*): Column =
+    ExpressionUtils.column(
+      CurveIndex(coords.map(ExpressionUtils.expression), bits, hilbert = true))
+
+  private def curveBuilder(hilbert: Boolean)(exprs: Seq[Expression]): Expression = {
+    require(exprs.size >= 2, "usage: <fn>(bits, coord1, coord2, ...)")
+    val bits = exprs.head match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => sys.error(s"bits must be an int literal, got $other")
+    }
+    CurveIndex(exprs.tail, bits, hilbert)
+  }
+
+  /** Register zorder_key / hilbert_key for SQL. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[CurveIndex].getName, "zorder_key"),
+      exprs => curveBuilder(hilbert = false)(exprs))
+    reg.registerFunction(
+      FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[CurveIndex].getName, "hilbert_key"),
+      exprs => curveBuilder(hilbert = true)(exprs))
+  }
+}

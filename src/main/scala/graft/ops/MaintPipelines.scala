@@ -79,11 +79,24 @@ object MaintPipelines {
 
   /** Oracle-checkable scan: numeric id, n_tok, exact token sum, source. */
   def verifiableScan(spark: SparkSession, t: TokenTable): DataFrame =
-    t.scan(spark).select(
+    verifiableSelect(t.scan(spark))
+
+  def verifiableSelect(df: DataFrame): DataFrame =
+    df.select(
       expr("CAST(substring(doc_id, 4) AS BIGINT)").as("doc_id"),
       col("n_tok"),
       aggregate(col("tokens"), lit(0L), (acc, x) => acc + x).as("tok_sum"),
       col("source"))
+
+  /** Snapshot isolation under the oracle gate: a reader pinned to the
+    * pre-merge snapshot must see the original table byte-for-byte even
+    * though a MERGE has committed since (time travel). */
+  def timeTravelRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    val snap0 = t.metadata.currentSnapshotId.get
+    Maintenance.mergeInto(spark, t, updateBatch(spark, sfDir))
+    verifiableSelect(t.scan(spark, snapshotId = Some(snap0)))
+  }
 
   // ----- the queries ------------------------------------------------------
 
