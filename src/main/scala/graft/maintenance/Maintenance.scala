@@ -256,9 +256,11 @@ object Maintenance {
           target.columns.filterNot(Set("doc_id", "tokens", "n_tok", "source")).map(col): _*)
 
     // Output sizing + token-mass balanced range partitioning on doc_id.
-    val outBytes = touched.map(_.bytes).sum + estimateBatchBytes(touched, live, debounced)
+    val (batchBytes, batchRows) = estimateBatch(touched, live, debounced)
+    val outBytes = touched.map(_.bytes).sum + batchBytes
     val nOut = math.max(1, math.ceil(outBytes.toDouble / targetFileBytes).toInt)
-    val balanced = repartitionByTokenMass(result, nOut)
+    val balanced = repartitionByTokenMass(result, nOut,
+      Some(touched.map(_.records).sum + batchRows))
 
     val stepId = s"merge-snap${table.metadata.currentSnapshotId.getOrElse(0L)}-${touchedPaths.hashCode()}"
     val ledger = new Ledger(table, stepId)
@@ -285,12 +287,22 @@ object Maintenance {
    * (1% of docs carry 4k-16k tokens) would otherwise leave straggler tasks.
    * Bounds are computed from a weighted sample; the bucket id is a codegen'd
    * [[RangeBucket]] so the only shuffle is the final repartitionByRange.
+   * With a `totalRows` hint the sample is a pure fraction (one fully
+   * parallel job, no serial CollectLimit).
    */
-  def repartitionByTokenMass(df: DataFrame, nOut: Int): DataFrame = {
+  def repartitionByTokenMass(
+      df: DataFrame, nOut: Int, totalRows: Option[Long] = None): DataFrame = {
     if (nOut <= 1) return df.coalesce(1).sortWithinPartitions("doc_id")
-    val sample = df.select(col("doc_id"), col("n_tok"))
-      .sample(withReplacement = false, 0.5, seed = 7)
-      .limit(200000).collect()
+    val projected = df.select(col("doc_id"), col("n_tok"))
+    val raw = totalRows match {
+      case Some(n) if n > 0 =>
+        val fraction = math.min(1.0, 200000.0 * 1.2 / n)
+        projected.sample(withReplacement = false, fraction, seed = 7).collect()
+      case _ =>
+        projected.sample(withReplacement = false, 0.5, seed = 7)
+          .limit(200000).collect()
+    }
+    val sample = raw
       .map(r => (r.getString(0), r.getInt(1).toLong))
       .sortBy(_._1)
     if (sample.length < nOut * 2) {
@@ -316,15 +328,16 @@ object Maintenance {
       .drop("_mb")
   }
 
-  private def estimateBatchBytes(
-      touched: Seq[DataFileMeta], live: Seq[DataFileMeta], batch: DataFrame): Long = {
+  /** (approx bytes, rows) of the batch — one tiny aggregation job. */
+  private def estimateBatch(
+      touched: Seq[DataFileMeta], live: Seq[DataFileMeta], batch: DataFrame): (Long, Long) = {
     val bytesPerTok =
       if (live.nonEmpty && live.map(_.sumNTok).sum > 0)
         live.map(_.bytes).sum.toDouble / live.map(_.sumNTok).sum
-      else 4.0
-    val batchToks = batch.agg(sum(col("n_tok").cast("long"))).collect()(0)
-    val toks = if (batchToks.isNullAt(0)) 0L else batchToks.getLong(0)
-    (toks * bytesPerTok).toLong
+      else 2.5 // observed parquet bytes/token for int32 token streams
+    val agg = batch.agg(sum(col("n_tok").cast("long")), count(lit(1))).collect()(0)
+    val toks = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    ((toks * bytesPerTok).toLong, agg.getLong(1))
   }
 
   // ------------------------------------------------------------- TTL delete

@@ -163,6 +163,17 @@ object MaintPipelines {
     spark.table("merge_audit")
   }
 
+  /** Database copy (reference nodestream/databases/copy.py:78-155): full
+    * table-to-table copy = snapshot scan of the source merged into a fresh
+    * destination; per-type concurrency becomes Spark partitioning. */
+  def copyRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = freshTable(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft-copy").toString
+    val dst = TokenTable.create(spark, s"$root/tbl")
+    Maintenance.mergeInto(spark, dst, src.scan(spark), CreationRule.Create)
+    verifiableScan(spark, dst)
+  }
+
   def deleteRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val t = freshTable(spark, sfDir)
     // TTL-style: expire all long documents (metadata-only where provable)
