@@ -58,6 +58,7 @@ object SparkEntry {
     "maint_merge_match_only" -> ((s, d) => MaintPipelines.mergeMatchOnlyRoundtrip(s, d)),
     "maint_merge_create" -> ((s, d) => MaintPipelines.mergeCreateRoundtrip(s, d)),
     "maint_hooks" -> ((s, d) => MaintPipelines.mergeHooksRoundtrip(s, d)),
+    "maint_merge_fuzzy" -> ((s, d) => MaintPipelines.mergeFuzzyRoundtrip(s, d)),
     "maint_delete" -> ((s, d) => MaintPipelines.deleteRoundtrip(s, d)),
     "maint_expire" -> ((s, d) => MaintPipelines.expireAndScan(s, d)),
     "maint_time_travel" -> ((s, d) => MaintPipelines.timeTravelRoundtrip(s, d)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "maint_merge_match_only" -> MaintPipelines.mergeMatchOnlyOracle,
     "maint_merge_create" -> MaintPipelines.mergeCreateOracle,
     "maint_hooks" -> MaintPipelines.mergeHooksOracle,
+    "maint_merge_fuzzy" -> MaintPipelines.mergeFuzzyOracle,
     "maint_pipeline_yaml" -> MaintPipelines.baseOracle,
     "maint_schema_evolution" -> MaintPipelines.schemaEvolutionOracle,
     "maint_incremental" -> MaintPipelines.incrementalOracle,

@@ -340,6 +340,49 @@ object Maintenance {
     ((toks * bytesPerTok).toLong, agg.getLong(1))
   }
 
+  /**
+   * FUZZY-rule merge (reference nodestream/model/creation_rules.py FUZZY:
+   * node matched by pattern instead of exact key): each batch row carries a
+   * `doc_pattern` regex; every live row whose doc_id matches gets the batch
+   * row's payload. Executed as a broadcast theta-join (the batch is small by
+   * construction — patterns are human-authored rules), copy-on-write over
+   * ALL files (a regex cannot be range-pruned; callers with a literal
+   * prefix should use DocIdBetween-style predicates instead). Never inserts.
+   * When several patterns match one row, the lexicographically-largest
+   * pattern wins (deterministic).
+   */
+  def mergeFuzzy(
+      spark: SparkSession,
+      table: TokenTable,
+      batch: DataFrame, // doc_pattern, tokens, n_tok, source
+      targetFileBytes: Long = DefaultTargetFileBytes): Snapshot = {
+    val live = table.liveFiles()
+    val target = table.readFiles(spark, live)
+    val b = broadcast(batch.select(
+      col("doc_pattern"),
+      col("tokens").as("_b_tokens"), col("n_tok").as("_b_n_tok"),
+      col("source").as("_b_source")))
+    val joined = target.join(b, regexp_like(col("doc_id"), col("doc_pattern")), "left_outer")
+    val merged = joined
+      .groupBy(col("doc_id"))
+      .agg(max_by(
+        struct(col("tokens"), col("n_tok"), col("source"),
+          col("_b_tokens"), col("_b_n_tok"), col("_b_source")),
+        coalesce(col("doc_pattern"), lit(""))).as("_r"))
+      .select(
+        col("doc_id"),
+        coalesce(col("_r._b_tokens"), col("_r.tokens")).as("tokens"),
+        coalesce(col("_r._b_n_tok"), col("_r.n_tok")).as("n_tok"),
+        coalesce(col("_r._b_source"), col("_r.source")).as("source"))
+    val nOut = math.max(1, math.ceil(
+      live.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
+    val staged = table.stageWrite(
+      repartitionByTokenMass(merged, nOut, Some(live.map(_.records).sum)),
+      s"merge-fuzzy-${java.util.UUID.randomUUID()}")
+    table.commit("merge", staged, live.map(_.path).toSet,
+      summary = Map("rule" -> "fuzzy"))
+  }
+
   // ------------------------------------------------------------- TTL delete
 
   /** Structured delete predicate — structured (not an opaque Column) so the

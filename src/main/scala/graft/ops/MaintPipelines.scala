@@ -163,6 +163,20 @@ object MaintPipelines {
     spark.table("merge_audit")
   }
 
+  /** FUZZY creation rule (reference nodestream/model/creation_rules.py):
+    * pattern-matched update — rows whose doc_id matches a batch regex get
+    * that batch row's payload; overlaps resolve deterministically. */
+  def mergeFuzzyRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = freshTable(spark, sfDir)
+    val batch = Seq(
+      ("[0]$", (1 to 9).toList, 9, "fz0"),   // ids ending in 0
+      ("[05]$", (1 to 7).toList, 7, "fz5"))  // ids ending in 0 or 5; "[0]$" outranks on 0
+      .toDF("doc_pattern", "tokens", "n_tok", "source")
+    Maintenance.mergeFuzzy(spark, t, batch)
+    verifiableScan(spark, t)
+  }
+
   /** Database copy (reference nodestream/databases/copy.py:78-155): full
     * table-to-table copy = snapshot scan of the source merged into a fresh
     * destination; per-type concurrency becomes Spark partitioning. */
@@ -328,6 +342,16 @@ object MaintPipelines {
        |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM upd
        |UNION ALL
        |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM ins""".stripMargin
+
+  val mergeFuzzyOracle: String =
+    s"""SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source
+       |  FROM (SELECT doc_id, $nTokSql AS n_tok, source FROM documents) WHERE doc_id % 10 NOT IN (0, 5)
+       |UNION ALL
+       |SELECT doc_id, CAST(9 AS INT) AS n_tok, CAST(45 AS BIGINT) AS tok_sum, 'fz0' AS source
+       |  FROM documents WHERE doc_id % 10 = 0
+       |UNION ALL
+       |SELECT doc_id, CAST(7 AS INT) AS n_tok, CAST(28 AS BIGINT) AS tok_sum, 'fz5' AS source
+       |  FROM documents WHERE doc_id % 10 = 5""".stripMargin
 
   val mergeHooksOracle: String =
     s"""SELECT (SELECT COUNT(*) FROM documents) AS rows_before,
