@@ -76,6 +76,7 @@ object SparkEntry {
     // similarity search
     "ann_brute_topk" -> (Q.annBruteTopK _),
     "ann_lsh_topk" -> (Q.annLshTopK _),
+    "ann_ivf_topk" -> (Q.annIvfTopK _),
     // text analysis
     "txt_langid" -> (Q.txtLangId _),
     "txt_quality" -> (Q.txtQuality _),

@@ -334,6 +334,11 @@ object QueryCatalog {
     AnnOps.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5, planes = 6)
   }
 
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    AnnOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, nCells = 16, nProbe = 4)
+  }
+
   // ===================================== training-data ops: text analysis
 
   def txtLangId(s: SparkSession, dir: String): DataFrame =

@@ -87,6 +87,98 @@ object AnnOps {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /**
+   * IVF (inverted-file) ANN — the classic scale path: a small driver-side
+   * k-means builds `nCells` centroids from a bounded sample; every corpus
+   * vector is assigned to its nearest cell (one codegen'd argmax over a
+   * broadcast centroid literal — no UDF, no shuffle); a query probes only
+   * its `nProbe` nearest cells, so the exact-cosine rank runs over
+   * ~nProbe/nCells of the corpus. At 10^12 rows the cell assignment is a
+   * one-off maintenance pass and cells become partition keys.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      kmeansIters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    // --- driver-side k-means over a bounded sample (seeded, deterministic)
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+      .sample(withReplacement = false, 1.0, seed = 11).limit(nCells * 64)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    var centroids: Array[Array[Double]] = sample.take(nCells)
+    (1 to kmeansIters).foreach { _ =>
+      val dim = centroids(0).length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCell(v, centroids)
+        counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+
+    // --- cell assignment as pure column algebra over the broadcast literal
+    def cellOf(vec: Column): Column = {
+      val scored = transform(centLit, c =>
+        aggregate(zip_with(vec, c, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v))
+      // argmax via max_by over (score, -index): deterministic tie-break
+      val n = centroids.length
+      val idx = sequence(lit(0), lit(n - 1))
+      aggregate(
+        zip_with(scored, idx, (s, i) => struct(s.as("s"), i.as("i"))),
+        struct(lit(Double.MinValue).as("s"), lit(-1).as("i")),
+        (best, cur) => when(cur.getField("s") > best.getField("s"), cur).otherwise(best))
+        .getField("i")
+    }
+    def probeCells(vec: Column, p: Int): Column = {
+      val scored = transform(centLit, c =>
+        aggregate(zip_with(vec, c, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v))
+      val n = centroids.length
+      val idx = sequence(lit(0), lit(n - 1))
+      slice(transform(
+        array_sort(zip_with(scored, idx, (s, i) => struct((-s).as("neg"), i.as("i")))),
+        e => e.getField("i")), 1, p)
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      cellOf(col(vecCol)).as("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(probeCells(col(vecCol), nProbe)).as("cell")))
+    val scored = c.join(q, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  private def nearestCell(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.MinValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += v(i) * centroids(c)(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Cosine near-duplicate pairs via LSH blocking + exact verify. */
   def cosineNearDupPairs(
       corpus: DataFrame,

@@ -226,4 +226,22 @@ class TokenTableSpec extends SparkSpec {
     t2.commit("append", f2) // must retry over t1's commit, not clobber it
     assert(t2.scan(spark).count() == 700)
   }
+
+  test("conflicting rewrites: a merge planned against files a compact replaced must abort") {
+    import graft.maintenance.Maintenance
+    val root = tmpDir("tt-conflict")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 500, nFiles = 4)
+    val staleLive = t.liveFiles()
+    // a merge-like plan staged against the current live set...
+    val staged = t.stageWrite(SequenceGen.sequences(spark, 50, seed = 9), "conflict-merge")
+    // ...while a concurrent compact rewrites those very files and commits first
+    Maintenance.compact(spark, t, targetFileBytes = 64L * 1024 * 1024,
+      smallFileThreshold = Some(64L * 1024 * 1024))
+    // the stale plan must be rejected — never silently resurrect replaced files
+    intercept[graft.table.CommitConflictException] {
+      t.commit("merge", staged, staleLive.map(_.path).toSet)
+    }
+    // table content untouched by the failed commit
+    assert(t.scan(spark).count() == 500)
+  }
 }
