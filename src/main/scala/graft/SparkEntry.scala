@@ -63,6 +63,7 @@ object SparkEntry {
     "maint_expire" -> ((s, d) => MaintPipelines.expireAndScan(s, d)),
     "maint_time_travel" -> ((s, d) => MaintPipelines.timeTravelRoundtrip(s, d)),
     "maint_copy" -> ((s, d) => MaintPipelines.copyRoundtrip(s, d)),
+    "maint_table_source" -> ((s, d) => MaintPipelines.tableSourcePushdown(s, d)),
     "maint_pipeline_yaml" -> ((s, d) => MaintPipelines.pipelineYamlRoundtrip(s, d)),
     "maint_schema_evolution" -> ((s, d) => MaintPipelines.schemaEvolutionRoundtrip(s, d)),
     "maint_incremental" -> ((s, d) => MaintPipelines.incrementalRoundtrip(s, d)),
@@ -154,6 +155,7 @@ object SparkEntry {
     "maint_expire" -> MaintPipelines.baseOracle,
     "maint_time_travel" -> MaintPipelines.baseOracle,
     "maint_copy" -> MaintPipelines.baseOracle,
+    "maint_table_source" -> MaintPipelines.tableSourceOracle,
     "maint_merge" -> MaintPipelines.mergeOracle,
     "maint_merge_match_only" -> MaintPipelines.mergeMatchOnlyOracle,
     "maint_merge_create" -> MaintPipelines.mergeCreateOracle,

@@ -163,6 +163,19 @@ object MaintPipelines {
     spark.table("merge_audit")
   }
 
+  /** The Catalyst-integrated relation (graft.plans.GraftTableSource): query
+    * filters drive manifest pruning through the injected optimizer rule,
+    * results checked against the closed-form oracle. */
+  def tableSourcePushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    Maintenance.cluster(spark, t, ZOrder(Seq("doc_id", "source", "n_tok")),
+      targetFileBytes = 1L * 1024 * 1024)
+    graft.plans.GraftTableSource.install(spark)
+    val df = graft.plans.GraftTableSource.table(spark, t.root.toString)
+      .filter(col("n_tok") < 200 && col("source").isin("src0", "src1"))
+    verifiableSelect(df)
+  }
+
   /** FUZZY creation rule (reference nodestream/model/creation_rules.py):
     * pattern-matched update — rows whose doc_id matches a batch regex get
     * that batch row's payload; overlaps resolve deterministically. */
@@ -342,6 +355,11 @@ object MaintPipelines {
        |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM upd
        |UNION ALL
        |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM ins""".stripMargin
+
+  val tableSourceOracle: String =
+    s"""SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source
+       |FROM (SELECT doc_id, $nTokSql AS n_tok, source FROM documents)
+       |WHERE n_tok < 200 AND source IN ('src0', 'src1')""".stripMargin
 
   val mergeFuzzyOracle: String =
     s"""SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source
