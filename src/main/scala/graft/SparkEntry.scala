@@ -84,7 +84,8 @@ object SparkEntry {
     "txt_tokens" -> (Q.txtTokens _),
     "txt_fingerprint" -> (Q.txtFingerprint _),
     // multimodal plumbing
-    "mm_decode_meta" -> (Q.mmDecodeMeta _))
+    "mm_decode_meta" -> (Q.mmDecodeMeta _),
+    "mm_frame_resize" -> (Q.mmFrameResize _))
 
   def oracleSql: Map[String, String] = Map(
     "src_scan_pushdown" ->
@@ -211,6 +212,17 @@ object SparkEntry {
         |  CAST(16 + (strlen(text)*7) % 1080 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 240 ELSE 1 END AS INT) AS n_frames
         |FROM documents""".stripMargin,
+    "mm_frame_resize" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |  CAST(16 + strlen(text) % 1920 AS INT) AS w,
+        |  CAST(16 + (strlen(text)*7) % 1080 AS INT) AS h,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 240 ELSE 1 END AS INT) AS nf
+        |FROM documents)
+        |SELECT media_id,
+        |  CAST(i * GREATEST(CAST(FLOOR(nf/4.0) AS INT), 1) AS INT) AS frame_idx,
+        |  GREATEST(CAST(FLOOR(CAST(w AS DOUBLE) * LEAST(GREATEST(w, h), 256) / GREATEST(w, h)) AS INT), 1) AS out_w,
+        |  GREATEST(CAST(FLOOR(CAST(h AS DOUBLE) * LEAST(GREATEST(w, h), 256) / GREATEST(w, h)) AS INT), 1) AS out_h
+        |FROM (SELECT media_id, w, h, nf, UNNEST(generate_series(0, LEAST(nf - 1, 3))) AS i FROM d)""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,

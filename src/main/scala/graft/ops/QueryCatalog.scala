@@ -368,4 +368,17 @@ object QueryCatalog {
       .toDF().select(col("media_id"), col("mime"), col("byte_len"),
         col("width"), col("height"), col("n_frames"))
   }
+
+  /** Frame-sample + resize plans over the decoded metadata — the batch
+    * transforms a video/image pipeline schedules before touching pixels. */
+  def mmFrameResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MultimodalOps.decodeMeta(MultimodalOps.mediaFromDocs(tbl(s, dir, "documents")))
+      .toDF()
+      .select(col("media_id"),
+        MultimodalOps.frameSamplePlan(col("n_frames"), perVideo = 4).as("frames"),
+        MultimodalOps.resizePlan(col("width"), col("height"), maxEdge = 256).as("rs"))
+      .select(col("media_id"), explode(col("frames")).as("frame_idx"),
+        col("rs.w").as("out_w"), col("rs.h").as("out_h"))
+  }
 }

@@ -64,7 +64,25 @@ object MultimodalOps {
     * column expression (uniform stride over n_frames, max `perVideo`). */
   def frameSamplePlan(nFrames: org.apache.spark.sql.Column, perVideo: Int) =
     transform(sequence(lit(0), least(nFrames - 1, lit(perVideo - 1))),
-      i => (i * greatest(nFrames / perVideo, lit(1))).cast("int"))
+      i => (i * greatest(floor(nFrames / lit(perVideo)).cast("int"), lit(1))).cast("int"))
+
+  /** Resize plan: target (w, h) preserving aspect ratio with the long edge
+    * clamped to `maxEdge` — pure integer column algebra; the actual pixel
+    * resample is the stubbed codec step. */
+  def resizePlan(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column, maxEdge: Int) = {
+    val longEdge = greatest(w, h)
+    val scaleNum = least(longEdge, lit(maxEdge))
+    struct(
+      greatest((w * scaleNum / longEdge).cast("int"), lit(1)).as("w"),
+      greatest((h * scaleNum / longEdge).cast("int"), lit(1)).as("h"))
+  }
+
+  /** Deterministic stub feature vector from payload bytes: `dim` doubles
+    * derived from the rolling checksum — stands in for an embedding model
+    * output with a real schema and batch shape. */
+  def featurePlan(checksumCol: org.apache.spark.sql.Column, dim: Int) =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(checksumCol * (i + 1), lit(10007L)).cast("double") / 10007.0)
 
   /** Build a media table from any (id, text) source: payload = utf8 bytes,
     * mime rotated deterministically. Used by tests/queries in this sandbox. */

@@ -8,6 +8,43 @@ import graft.table._
 
 class SchemaEvolutionSpec extends SparkSpec {
 
+  test("property: reduced op stream is semantics-preserving on random valid sequences") {
+    // stepwise generator keeps each random op valid against the evolving state
+    val rng = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val base = StructType(Seq(
+        StructField("doc_id", StringType), StructField("tokens", ArrayType(IntegerType)),
+        StructField("n_tok", IntegerType), StructField("source", StringType),
+        StructField("a", DoubleType), StructField("b", LongType), StructField("c", StringType)))
+      val baseIds = base.fieldNames.zipWithIndex.toMap
+      var live = Set("a", "b", "c")
+      var fresh = 0
+      def freshName(): String = { fresh += 1; s"x$fresh" }
+      val ops = (1 to (1 + rng.nextInt(20))).flatMap { _ =>
+        rng.nextInt(3) match {
+          case 0 =>
+            val n = freshName(); live += n; Some(AddColumn(n, "DOUBLE"))
+          case 1 if live.nonEmpty =>
+            val from = live.toSeq.sorted(Ordering.String)(rng.nextInt(live.size))
+            val to = freshName(); live = live - from + to; Some(RenameColumn(from, to))
+          case 2 if live.nonEmpty =>
+            val n = live.toSeq.sorted(Ordering.String)(rng.nextInt(live.size))
+            live -= n; Some(DropColumn(n))
+          case _ => None
+        }
+      }
+      val (s1, ids1) = SchemaEvolution.applyOps(base, baseIds, ops)
+      val (s2, ids2) = SchemaEvolution.applyOps(base, baseIds, SchemaEvolution.reduce(ops))
+      // same surviving columns and types (order may differ for late adds)
+      assert(s1.fields.map(f => (f.name, f.dataType)).toSet ==
+        s2.fields.map(f => (f.name, f.dataType)).toSet, s"ops=$ops")
+      // surviving ORIGINAL columns keep their original field ids on both paths
+      val origIds = baseIds.values.toSet
+      assert(ids1.filter(kv => origIds.contains(kv._2)) ==
+        ids2.filter(kv => origIds.contains(kv._2)), s"ops=$ops")
+    }
+  }
+
   test("reduction: add+drop annihilates, rename chains collapse, drop wins") {
     assert(SchemaEvolution.reduce(Seq(
       AddColumn("q", "DOUBLE"), DropColumn("q"))) == Seq.empty)
