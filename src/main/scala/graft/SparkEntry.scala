@@ -103,7 +103,7 @@ object SparkEntry {
     "flt_schema_enforcer" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events WHERE event_id % 13 <> 0",
     "src_sql" ->
-      "SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars FROM documents GROUP BY source",
+      "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source",
     "src_ttl_commands" ->
       "SELECT source AS object_type, CAST(24*length(source) AS INT) AS expiry_in_hours, CAST(100 AS INT) AS batch_size FROM (SELECT DISTINCT source FROM documents)",
     "tfm_multi_pass" ->

@@ -373,7 +373,7 @@ object MaintPipelines {
 
   val mergeHooksOracle: String =
     s"""SELECT (SELECT COUNT(*) FROM documents) AS rows_before,
-       |  COUNT(*) AS rows_after, SUM(CAST(n_tok AS BIGINT)) AS toks_after
+       |  COUNT(*) AS rows_after, CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS toks_after
        |FROM ($mergeOracle)""".stripMargin
 
   /** Appended-batch fragment: docs with doc_id % 11 = 4 shifted by 20M,
