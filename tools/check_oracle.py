@@ -9,6 +9,9 @@ out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+# oracle_sql.json now carries every oracle under both `<name>` and
+# `<name>.parquet` keys (driver key-format belt-and-braces) — dedupe here.
+oracles = {k.removesuffix(".parquet"): v for k, v in oracles.items()}
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
