@@ -223,15 +223,15 @@ object SparkEntry {
         |  GREATEST(CAST(FLOOR(CAST(w AS DOUBLE) * LEAST(GREATEST(w, h), 256) / GREATEST(w, h)) AS INT), 1) AS out_w,
         |  GREATEST(CAST(FLOOR(CAST(h AS DOUBLE) * LEAST(GREATEST(w, h), 256) / GREATEST(w, h)) AS INT), 1) AS out_h
         |FROM (SELECT media_id, w, h, nf, UNNEST(generate_series(0, LEAST(nf - 1, 3))) AS i FROM d)""".stripMargin,
-    "ann_brute_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
-        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  ROUND(
-        |    list_sum(list_transform(list_zip(q.qv, e.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cos
-        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
-        |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
-        |WHERE rank <= 10""".stripMargin)
+    "ann_brute_topk" -> ops.OracleSql.bruteTopK(k = 10, queryFilter = "vec_id < 3"),
+    // hash-based operators: the Spark impls use the engine-portable integer
+    // hash family (TextOps.polyHash/seededHash, integer-quantized hyperplane
+    // signatures), so DuckDB reproduces buckets and pairs exactly
+    "ddp_simhash" -> ops.OracleSql.simhash(filter = "doc_id < 200"),
+    "ddp_minhash_lsh" -> ops.OracleSql.minhashLsh(
+      bands = 4, rowsPerBand = 3, shingleN = 3, threshold = 0.6),
+    "ddp_embed_cosine_dup" -> ops.OracleSql.embedCosineDup(planes = 4, threshold = 0.2),
+    "ann_lsh_topk" -> ops.OracleSql.annLshTopK(planes = 6, k = 5, queryFilter = "id < 5"),
+    // full-probe IVF is exact: the oracle is the brute-force ranking itself
+    "ann_ivf_topk" -> ops.OracleSql.bruteTopK(k = 5, queryFilter = "vec_id < 5"))
 }

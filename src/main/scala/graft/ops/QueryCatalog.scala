@@ -334,9 +334,14 @@ object QueryCatalog {
     AnnOps.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5, planes = 6)
   }
 
+  /** Full-probe IVF (nProbe = nCells): exercises the whole IVF path —
+    * k-means centroids, codegen'd cell assignment, probe-list explode,
+    * per-cell join — under an exactness gate (probing every cell must equal
+    * brute force). The approximate regime (nProbe < nCells) is covered by
+    * the recall spec in AnnSpec. */
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
-    AnnOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, nCells = 16, nProbe = 4)
+    AnnOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, nCells = 16, nProbe = 16)
   }
 
   // ===================================== training-data ops: text analysis

@@ -46,20 +46,30 @@ object AnnOps {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a fixed integer hash mapped to [-1, 1]. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit(p), i), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
-
-  /** `planes`-bit random-hyperplane LSH signature of a vector column. */
-  def lshSignature(vec: Column, planes: Int): Column =
+  /**
+   * `planes`-bit random-hyperplane LSH signature of a vector column, in pure
+   * integer math so any SQL engine reproduces it exactly: the vector is
+   * quantized to `floor(x * 1e6)` and each hyperplane's components are a
+   * deterministic per-plane quadratic hash in the dimension index, centered
+   * on zero. The sign of the exact integer dot product sets the bit — no
+   * float-summation-order hazard can flip a bucket between engines.
+   * |vq| <= ~1e7 and |component| <= 5e5, so a 4096-dim dot stays < 2^56.
+   */
+  def lshSignature(vec: Column, planes: Int): Column = {
+    val M = 1000003L // prime modulus of the component hash
+    val vq = transform(vec, x => floor(x.cast("double") * 1000000.0).cast("long"))
     (0 until planes).map { p =>
+      // per-plane multipliers: distinct linear+quadratic walks mod M per
+      // plane (a shared walk with per-plane offsets would correlate planes)
+      val a = (2654435761L * (p + 1)) % M
+      val b = (179426549L * (p + 1) + 97L) % M
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
+        zip_with(vq, sequence(lit(1), size(vq)),
+          (x, i) => x * (pmod(i * a + i * i * b, lit(M)) - (M - 1) / 2)),
+        lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
+  }
 
   /**
    * LSH-bucketed ANN: signature-equality join prunes candidates to one

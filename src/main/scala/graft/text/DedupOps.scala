@@ -58,19 +58,23 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** k MinHash values of a shingle set: min over shingles of
-    * xxhash64(shingle, seed_i). Deterministic, codegen'd, no UDF. */
-  def minHashes(shingleCol: org.apache.spark.sql.Column, k: Int) =
+  /** k MinHash values over a precomputed array of (h1, h2) double-hash
+    * structs: min over shingles of the i-th seeded hash. Deterministic,
+    * codegen'd, engine-portable integer math (see [[TextOps.seededHash]]). */
+  def minHashes(hashPairCol: org.apache.spark.sql.Column, k: Int) =
     (0 until k).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i)))).as(s"mh_$i")
+      array_min(transform(hashPairCol,
+        s => TextOps.seededHash(i, s.getField("h1"), s.getField("h2")))).as(s"mh_$i")
     }
 
   /**
    * MinHash-LSH near-duplicate candidates: shingle → k minhashes → `bands`
-   * bands of `rowsPerBand` hashes → band-bucket join. Only docs sharing a
-   * (band, bucket-hash) collide; the pairwise verify then computes true
-   * Jaccard on just those pairs. This is the standard LSH layout: buckets
-   * shuffle-partition evenly, pairwise work is bucket-local.
+   * bands of `rowsPerBand` hashes → band-key join. Only docs sharing a
+   * band's full minhash tuple collide; the pairwise verify then computes
+   * true Jaccard on just those pairs. Scale shape: the band join carries
+   * ONLY (id, band, key) — never the shingle arrays (a bands× array blowup
+   * through the shuffle at 10^12 docs); matched pairs re-join a slim
+   * (id, shingles) projection for the verify.
    */
   def minhashLshPairs(
       docs: DataFrame,
@@ -81,34 +85,41 @@ object DedupOps {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val base = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id") +: col("sh") +: minHashes(col("sh"), k): _*)
+    val sigs = base
+      .select(col("id"), transform(col("sh"), TextOps.polyHash2 _).as("hp"))
+      .select(col("id") +: minHashes(col("hp"), k): _*)
     val banded = sigs.select(
-      col("id"), col("sh"),
+      col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*).as("bucket"))
+          array((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*).as("key"))
       }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
-    val l = banded.toDF("a_id", "a_sh", "band", "bucket")
-    val r = banded.toDF("b_id", "b_sh", "band", "bucket")
-    l.join(r, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+      .select(col("id"), col("bb.band").as("band"), col("bb.key").as("key"))
+    val pairs = banded.toDF("a_id", "band", "key")
+      .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(base.toDF("id_a", "a_sh"), Seq("id_a"))
+      .join(base.toDF("id_b", "b_sh"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))).cast("double"), 4).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= verifyThreshold)
   }
 
   /** 64-bit SimHash over the word set: per-bit majority vote of word hashes,
-    * built from integer column math only. */
+    * built from engine-portable integer column math only — bit b of a word's
+    * vote is the parity of the b-th seeded double hash. */
   def simHash(textCol: org.apache.spark.sql.Column) = {
-    val hashes = transform(wordSet(textCol), w => xxhash64(w))
-    // bit b of the simhash = 1 iff sum over words of sign(bit b) > 0
+    val hashes = transform(wordSet(textCol), TextOps.polyHash2 _)
     (0 until 64).map { b =>
       val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        (acc, s) => acc + when(
+          TextOps.seededHash(b, s.getField("h1"), s.getField("h2")) % 2 === 1, 1).otherwise(-1))
       when(votes > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
   }

@@ -85,4 +85,31 @@ object TextOps {
       lit(0L),
       (acc, i) => pmod(acc * 131 + coalesce(ascii(prefix.substr(i, lit(1))), lit(0)), lit(1000000007L)))
   }
+
+  // ------------------------------------------------------- portable hashing
+  // Engine-portable hash family: pure integer column math (no xxhash64 —
+  // its output is not reproducible outside Spark, which made every hash-
+  // based operator un-oracle-able). All intermediates stay far below 2^63
+  // so ANSI-mode Spark and any SQL oracle agree bit-for-bit.
+
+  /** Two coprime poly-hash moduli (largest primes < 1e9+9 / < 1e9). */
+  val HashMod1 = 1000000007L
+  val HashMod2 = 999999937L
+
+  /** Polynomial rolling hash of a string's character codes:
+    * fold(acc*base + codepoint) % mod. acc < mod ~ 2^30, so acc*base < 2^38. */
+  def polyHash(c: Column, base: Long, mod: Long): Column =
+    aggregate(
+      transform(filter(split(c, ""), ch => length(ch) > 0), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => pmod(acc * base + x, lit(mod)))
+
+  /** Both base hashes of a string as a struct (h1, h2) — computed once,
+    * reused by every seeded hash (Kirsch–Mitzenmacher double hashing). */
+  def polyHash2(c: Column): Column =
+    struct(polyHash(c, 131, HashMod1).as("h1"), polyHash(c, 137, HashMod2).as("h2"))
+
+  /** The i-th member of the double-hash family: ((i+1)*h1 + (i²+1)*h2 + i)
+    * mod p1. (i+1)*h1 <= 2^36 for i < 64 — no overflow anywhere. */
+  def seededHash(i: Int, h1: Column, h2: Column): Column =
+    pmod(lit((i + 1).toLong) * h1 + lit(i.toLong * i + 1) * h2 + lit(i.toLong), lit(HashMod1))
 }
