@@ -107,7 +107,8 @@ object Maintenance {
         "layout" -> layout.describe,
         "target-file-bytes" -> targetFileBytes.toString,
         "input-files" -> victims.size.toString,
-        "input-records" -> victims.map(_.records).sum.toString))
+        "input-records" -> victims.map(_.records).sum.toString),
+      replacedRange = TokenTable.docRange(victims))
     ledger.clear()
     Some(snap)
   }
@@ -220,16 +221,33 @@ object Maintenance {
     }
 
     // Manifest-level candidate-file pruning: a file is touched iff some batch
-    // key falls inside its [minDocId, maxDocId]. File ranges are tiny —
-    // broadcast them against the batch keys (range join on the small side).
+    // key falls inside its [minDocId, maxDocId]. Interval stabbing via a
+    // codegen'd binary search, not a theta-join: RangeBucket over the sorted
+    // distinct file endpoints maps every batch key to an endpoint-interval id
+    // in one scan (O(|batch| log |files|)); the distinct ids (<= 2|files|+1,
+    // bounded by file count like the old path's collect) mark each file whose
+    // endpoint-index span they hit. Conservative at span edges (a hit in the
+    // bucket just above a file's max can flag it) — pruning only ever
+    // over-approximates, the key-equality join below stays exact.
     val live = table.liveFiles()
-    val ranges = spark.createDataFrame(live.map(f => (f.path, f.minDocId, f.maxDocId)))
-      .toDF("_path", "_min", "_max")
-    val touchedPaths: Set[String] = debounced
-      .join(broadcast(ranges),
-        col("doc_id") >= col("_min") && col("doc_id") <= col("_max"))
-      .select("_path").distinct().collect().map(_.getString(0)).toSet
-    val touched = live.filter(f => touchedPaths.contains(f.path))
+    val touched: Seq[DataFileMeta] = if (live.isEmpty) Seq.empty else {
+      val endpoints: Array[String] =
+        live.flatMap(f => Seq(f.minDocId, f.maxDocId)).distinct.sorted.toArray
+      val bounds: Array[AnyRef] = endpoints.map(s =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s): AnyRef)
+      val bucketCol = ExpressionUtils.column(
+        RangeBucket(ExpressionUtils.expression(col("doc_id")), bounds))
+      val hits: Array[Int] = debounced.select(bucketCol.as("_b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      def anyHitIn(lo: Int, hi: Int): Boolean = {
+        var l = 0; var h = hits.length
+        while (l < h) { val m = (l + h) >>> 1; if (hits(m) < lo) l = m + 1 else h = m }
+        l < hits.length && hits(l) <= hi
+      }
+      val idx: Map[String, Int] = endpoints.zipWithIndex.toMap
+      live.filter(f => anyHitIn(idx(f.minDocId), idx(f.maxDocId)))
+    }
+    val touchedPaths: Set[String] = touched.map(_.path).toSet
 
     val target = table.readFiles(spark, touched)
     val b = debounced
@@ -274,7 +292,8 @@ object Maintenance {
     Failpoints.hit("merge.before-commit")
     val snap = table.commit("merge", staged, touchedPaths,
       summary = Map("rule" -> rule.toString.toLowerCase,
-        "touched-files" -> touched.size.toString) ++ extraSummary)
+        "touched-files" -> touched.size.toString) ++ extraSummary,
+      replacedRange = TokenTable.docRange(touched))
     ledger.clear()
     debounced.unpersist()
     runPostHooks()
@@ -363,24 +382,31 @@ object Maintenance {
       col("tokens").as("_b_tokens"), col("n_tok").as("_b_n_tok"),
       col("source").as("_b_source")))
     val joined = target.join(b, regexp_like(col("doc_id"), col("doc_pattern")), "left_outer")
+    // Evolved extra columns ride along inside the max_by struct (same
+    // preservation contract as mergeInto) — a fuzzy merge over a
+    // schema-evolved table must not null out columns added since.
+    val extras = target.columns.filterNot(Set("doc_id", "tokens", "n_tok", "source")).toSeq
     val merged = joined
       .groupBy(col("doc_id"))
       .agg(max_by(
-        struct(col("tokens"), col("n_tok"), col("source"),
-          col("_b_tokens"), col("_b_n_tok"), col("_b_source")),
+        struct((Seq("tokens", "n_tok", "source", "_b_tokens", "_b_n_tok", "_b_source")
+          ++ extras).map(col): _*),
         coalesce(col("doc_pattern"), lit(""))).as("_r"))
       .select(
-        col("doc_id"),
-        coalesce(col("_r._b_tokens"), col("_r.tokens")).as("tokens"),
-        coalesce(col("_r._b_n_tok"), col("_r.n_tok")).as("n_tok"),
-        coalesce(col("_r._b_source"), col("_r.source")).as("source"))
+        Seq(
+          col("doc_id"),
+          coalesce(col("_r._b_tokens"), col("_r.tokens")).as("tokens"),
+          coalesce(col("_r._b_n_tok"), col("_r.n_tok")).as("n_tok"),
+          coalesce(col("_r._b_source"), col("_r.source")).as("source")) ++
+          extras.map(c => col(s"_r.$c").as(c)): _*)
     val nOut = math.max(1, math.ceil(
       live.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
     val staged = table.stageWrite(
       repartitionByTokenMass(merged, nOut, Some(live.map(_.records).sum)),
       s"merge-fuzzy-${java.util.UUID.randomUUID()}")
     table.commit("merge", staged, live.map(_.path).toSet,
-      summary = Map("rule" -> "fuzzy"))
+      summary = Map("rule" -> "fuzzy"),
+      replacedRange = TokenTable.docRange(live))
   }
 
   // ------------------------------------------------------------- TTL delete
@@ -441,7 +467,8 @@ object Maintenance {
       summary = Map(
         "predicate" -> pred.toString,
         "metadata-only-deleted-files" -> fullyCovered.size.toString,
-        "rewritten-files" -> partial.size.toString)))
+        "rewritten-files" -> partial.size.toString),
+      replacedRange = TokenTable.docRange(fullyCovered ++ partial)))
   }
 
   // ------------------------------------------------------- manifest rewrite

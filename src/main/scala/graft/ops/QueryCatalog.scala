@@ -72,7 +72,8 @@ object QueryCatalog {
         substring(col("props"), 2, 1000000)) // strip '{' -> invalid JSON
         .otherwise(col("props")))
     val schema = SchemaEnforce.inferJsonSchema(mangled, "props", sampleN = 100)
-    SchemaEnforce.enforce(mangled, "props", schema)
+    val required = SchemaEnforce.inferRequiredFields(mangled, "props", schema, sampleN = 100)
+    SchemaEnforce.enforce(mangled, "props", schema, Some(required))
       .select(col("event_id"),
         from_json(col("props"), schema).getField("k").cast("int").as("k"))
   }

@@ -70,7 +70,23 @@ final case class SchemaVersion(
     schemaJson: String,
     fieldIds: Map[String, Int])
 
-final case class ManifestMeta(path: String, addedFiles: Int, records: Long, bytes: Long)
+/** Manifest-list entry: summary stats of one manifest file. The doc_id range
+  * (absent on manifests written before it existed → always read) lets commit
+  * and scan planning skip manifests that provably cannot contain a touched
+  * file — Iceberg's manifest-list design, so carrying forward untouched
+  * manifests costs zero reads. */
+final case class ManifestMeta(
+    path: String, addedFiles: Int, records: Long, bytes: Long,
+    minDocId: Option[String] = None, maxDocId: Option[String] = None) {
+
+  /** May this manifest contain a file whose doc range intersects [lo, hi]?
+    * (Any file's range is contained in its manifest's range, so a manifest
+    * outside [lo, hi] cannot hold a file intersecting it. No stats → true.) */
+  def mayIntersect(lo: String, hi: String): Boolean = (minDocId, maxDocId) match {
+    case (Some(mlo), Some(mhi)) => mhi >= lo && mlo <= hi
+    case _                      => true
+  }
+}
 
 final case class Snapshot(
     snapshotId: Long,

@@ -89,11 +89,20 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       snapshotId: Option[Long] = None,
       docIdRange: Option[(String, String)] = None,
       sourceIn: Option[Set[String]] = None,
-      nTokRange: Option[(Int, Int)] = None): Seq[DataFileMeta] = {
+      nTokRange: Option[(Int, Int)] = None,
+      // one-sided bounds: pruning must never close an open side with a
+      // sentinel value (a \uffff upper bound would wrongly drop files whose
+      // minDocId sorts above it, e.g. supplementary-plane ids)
+      docIdLo: Option[String] = None, docIdHi: Option[String] = None,
+      nTokLo: Option[Int] = None, nTokHi: Option[Int] = None): Seq[DataFileMeta] = {
+    val dLo = (docIdLo.toSeq ++ docIdRange.map(_._1)).maxOption
+    val dHi = (docIdHi.toSeq ++ docIdRange.map(_._2)).minOption
+    val tLo = (nTokLo.toSeq ++ nTokRange.map(_._1)).maxOption
+    val tHi = (nTokHi.toSeq ++ nTokRange.map(_._2)).minOption
     liveFiles(snapshotId).filter { f =>
-      docIdRange.forall { case (lo, hi) => f.maxDocId >= lo && f.minDocId <= hi } &&
+      dLo.forall(lo => f.maxDocId >= lo) && dHi.forall(hi => f.minDocId <= hi) &&
       sourceIn.forall(s => f.sourceIntersects(s)) &&
-      nTokRange.forall { case (lo, hi) => f.maxNTok >= lo && f.minNTok <= hi }
+      tLo.forall(lo => f.maxNTok >= lo) && tHi.forall(hi => f.minNTok <= hi)
     }
   }
 
@@ -190,46 +199,60 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   def writeManifest(files: Seq[DataFileMeta]): ManifestMeta = {
     val name = s"manifest-${UUID.randomUUID()}.json"
     writeString(fs, new Path(metadataDir, name), TableJson.write(files))
-    ManifestMeta(name, files.size, files.map(_.records).sum, files.map(_.bytes).sum)
+    ManifestMeta(name, files.size, files.map(_.records).sum, files.map(_.bytes).sum,
+      minDocId = files.map(_.minDocId).minOption,
+      maxDocId = files.map(_.maxDocId).maxOption)
   }
 
   /**
    * Atomically commit a new snapshot replacing `replaced` files with `added`
-   * files (either may be empty). Unchanged manifests are carried forward when
-   * none of their files are replaced; touched manifests are rewritten minus
-   * the replaced entries (nodestream analogue: the debounced bulk MERGE flush,
-   * reference nodestream/databases/debounced_ingest_strategy.py:49-82).
+   * files (either may be empty). Manifests are carried forward WITHOUT being
+   * read when they provably cannot contain a replaced file: always when
+   * `replaced` is empty (appends parse zero manifests), and — given
+   * `replacedRange`, the doc_id hull of the replaced files — whenever the
+   * manifest-list range misses it (any manifest holding file f spans f's
+   * range, so a non-intersecting manifest cannot hold a replaced file, and a
+   * replaced file found in no intersecting manifest is provably no longer
+   * live). Touched manifests are rewritten minus the replaced entries
+   * (nodestream analogue: the debounced bulk MERGE flush, reference
+   * nodestream/databases/debounced_ingest_strategy.py:49-82).
    */
   def commit(
       operation: String,
       added: Seq[DataFileMeta],
       replaced: Set[String] = Set.empty,
       summary: Map[String, String] = Map.empty,
-      retries: Int = 5): Snapshot = {
+      retries: Int = 5,
+      replacedRange: Option[(String, String)] = None): Snapshot = {
     var attempt = 0
     while (true) {
       val base = refresh()
       val parent = base.currentSnapshot
-      // Validate: every file we replace must still be live (otherwise a
-      // concurrent maintenance already rewrote it — abort, caller replans).
-      val live: Map[String, DataFileMeta] =
-        parent.map(manifestEntries(_).map(f => f.path -> f).toMap).getOrElse(Map.empty)
-      val missing = replaced.filterNot(live.contains)
-      if (missing.nonEmpty)
-        throw new CommitConflictException(
-          s"files no longer live (concurrently rewritten): ${missing.take(5).mkString(", ")}")
-
+      def mustRead(m: ManifestMeta): Boolean =
+        replaced.nonEmpty && replacedRange.forall { case (lo, hi) => m.mayIntersect(lo, hi) }
+      // Validation happens inline with the carry-forward pass: every replaced
+      // file must still be live in some read manifest (otherwise a concurrent
+      // maintenance already rewrote it — abort, caller replans).
+      var found = Set.empty[String]
       val carried: Seq[ManifestMeta] = parent match {
         case None => Seq.empty
         case Some(p) =>
           p.manifests.flatMap { m =>
-            val entries = TableJson.readManifest(readString(fs, new Path(metadataDir, m.path)))
-            val kept = entries.filterNot(e => replaced.contains(e.path))
-            if (kept.size == entries.size) Some(m) // untouched: carry forward
-            else if (kept.isEmpty) None
-            else Some(writeManifest(kept))
+            if (!mustRead(m)) Some(m) // provably untouched: carry unread
+            else {
+              val entries = TableJson.readManifest(readString(fs, new Path(metadataDir, m.path)))
+              found ++= entries.iterator.map(_.path).filter(replaced.contains)
+              val kept = entries.filterNot(e => replaced.contains(e.path))
+              if (kept.size == entries.size) Some(m) // untouched: carry forward
+              else if (kept.isEmpty) None
+              else Some(writeManifest(kept))
+            }
           }
       }
+      val missing = replaced -- found
+      if (missing.nonEmpty)
+        throw new CommitConflictException(
+          s"files no longer live (concurrently rewritten): ${missing.take(5).mkString(", ")}")
       val newManifests = if (added.nonEmpty) carried :+ writeManifest(added) else carried
       val snap = Snapshot(
         snapshotId = base.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1,
@@ -404,16 +427,14 @@ object TokenTable {
    * ARE the file stats). Binary stats may be truncated by the writer; a
    * truncated min is still a valid lower bound and max an upper bound, which
    * is all pruning needs. Falls back to a Spark scan for any file whose
-   * footer lacks stats. Footers are read on a bounded thread pool — at
-   * cluster scale this becomes a distributed job over the staged paths.
+   * footer lacks stats. Footers are read by a distributed Spark job over the
+   * staged paths (each task opens only footers, never data pages) — the
+   * driver does zero file IO, so a 1000-executor commit of 100k files costs
+   * one short stage instead of a driver crawl.
    */
   def collectStats(
       spark: SparkSession, fs: FileSystem, root: Path, stagingDir: Path,
       readSchema: StructType = sequenceSchema): Seq[DataFileMeta] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.io.api.Binary
-
     val files: Seq[(Path, Long)] = {
       val it = fs.listFiles(stagingDir, true)
       val buf = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
@@ -425,77 +446,80 @@ object TokenTable {
       buf.toSeq
     }
     if (files.isEmpty) return Seq.empty
-    val conf = spark.sessionState.newHadoopConf()
+    val sc = spark.sparkContext
+    val confBc = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val rootStr = root.toString
+    val inputs: Seq[(String, Long, String)] =
+      files.map { case (p, len) => (p.toString, len, relativize(root, p)) }
+    val slices = math.max(1, math.min(inputs.size, sc.defaultParallelism * 2))
+    val results: Array[(String, Option[DataFileMeta])] =
+      sc.parallelize(inputs, slices).map { case (pathStr, len, rel) =>
+        rel -> footerStats(confBc.value.value, new Path(pathStr), len, rel)
+      }.collect()
 
-    def footerStats(p: Path, len: Long): Option[DataFileMeta] = {
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-      try {
-        val blocks = reader.getFooter.getBlocks
-        if (blocks.isEmpty) return None
-        var records = 0L
-        var minDoc: String = null; var maxDoc: String = null
-        var minSrc: String = null; var maxSrc: String = null
-        var minTok = Int.MaxValue; var maxTok = Int.MinValue
-        val it = blocks.iterator()
-        while (it.hasNext) {
-          val b = it.next()
-          records += b.getRowCount
-          val cit = b.getColumns.iterator()
-          while (cit.hasNext) {
-            val c = cit.next()
-            val s = c.getStatistics
-            if (s == null || s.isEmpty) {
-              c.getPath.toDotString match {
-                case "doc_id" | "n_tok" | "source" => return None // no stats: fall back
-                case _ => ()
-              }
-            } else c.getPath.toDotString match {
-              case "doc_id" =>
-                val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
-                val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
-                if (minDoc == null || lo < minDoc) minDoc = lo
-                if (maxDoc == null || hi > maxDoc) maxDoc = hi
-              case "n_tok" =>
-                minTok = math.min(minTok, s.genericGetMin.asInstanceOf[Number].intValue)
-                maxTok = math.max(maxTok, s.genericGetMax.asInstanceOf[Number].intValue)
-              case "source" =>
-                val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
-                val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
-                if (minSrc == null || lo < minSrc) minSrc = lo
-                if (maxSrc == null || hi > maxSrc) maxSrc = hi
-              case _ => ()
-            }
-          }
-        }
-        if (minDoc == null || minSrc == null || minTok == Int.MaxValue) None
-        else Some(DataFileMeta(
-          path = relativize(root, p), records = records, bytes = len,
-          minDocId = minDoc, maxDocId = maxDoc,
-          minNTok = minTok, maxNTok = maxTok, sumNTok = 0L,
-          sources = if (minSrc == maxSrc) Seq(minSrc) else Seq.empty,
-          minSource = Some(minSrc), maxSource = Some(maxSrc)))
-      } finally reader.close()
-    }
-
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(files.size, 16))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = files.map { case (p, len) =>
-      scala.concurrent.Future(footerStats(p, len))
-    }
-    val results =
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
-
-    val fromFooters = results.flatten
-    val missing = files.map(f => relativize(root, f._1)).toSet -- fromFooters.map(_.path).toSet
+    val fromFooters = results.flatMap(_._2)
+    val missing = results.collect { case (rel, None) => rel }.toSet
     val fallback =
       if (missing.isEmpty) Seq.empty
-      else scanStats(spark, fs, root,
+      else scanStats(spark, fs, new Path(rootStr),
         files.filter(f => missing.contains(relativize(root, f._1))), readSchema)
-    (fromFooters ++ fallback).sortBy(_.path)
+    (fromFooters.toSeq ++ fallback).sortBy(_.path)
+  }
+
+  /** Footer-only stats of one parquet file (runs inside executor tasks). */
+  private def footerStats(
+      conf: Configuration, p: Path, len: Long, relPath: String): Option[DataFileMeta] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      if (blocks.isEmpty) return None
+      var records = 0L
+      var minDoc: String = null; var maxDoc: String = null
+      var minSrc: String = null; var maxSrc: String = null
+      var minTok = Int.MaxValue; var maxTok = Int.MinValue
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        records += b.getRowCount
+        val cit = b.getColumns.iterator()
+        while (cit.hasNext) {
+          val c = cit.next()
+          val s = c.getStatistics
+          if (s == null || s.isEmpty) {
+            c.getPath.toDotString match {
+              case "doc_id" | "n_tok" | "source" => return None // no stats: fall back
+              case _ => ()
+            }
+          } else c.getPath.toDotString match {
+            case "doc_id" =>
+              val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
+              val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+              if (minDoc == null || lo < minDoc) minDoc = lo
+              if (maxDoc == null || hi > maxDoc) maxDoc = hi
+            case "n_tok" =>
+              minTok = math.min(minTok, s.genericGetMin.asInstanceOf[Number].intValue)
+              maxTok = math.max(maxTok, s.genericGetMax.asInstanceOf[Number].intValue)
+            case "source" =>
+              val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
+              val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+              if (minSrc == null || lo < minSrc) minSrc = lo
+              if (maxSrc == null || hi > maxSrc) maxSrc = hi
+            case _ => ()
+          }
+        }
+      }
+      if (minDoc == null || minSrc == null || minTok == Int.MaxValue) None
+      else Some(DataFileMeta(
+        path = relPath, records = records, bytes = len,
+        minDocId = minDoc, maxDocId = maxDoc,
+        minNTok = minTok, maxNTok = maxTok, sumNTok = 0L,
+        sources = if (minSrc == maxSrc) Seq(minSrc) else Seq.empty,
+        minSource = Some(minSrc), maxSource = Some(maxSrc)))
+    } finally reader.close()
   }
 
   /** Fallback stats via a columnar scan of the metadata columns (used only
@@ -528,6 +552,11 @@ object TokenTable {
         sources = r.getSeq[String](7).sorted)
     }.sortBy(_.path).toSeq
   }
+
+  /** doc_id hull of a file set — the `replacedRange` hint for [[TokenTable.commit]]. */
+  def docRange(files: Seq[DataFileMeta]): Option[(String, String)] =
+    if (files.isEmpty) None
+    else Some((files.map(_.minDocId).min, files.map(_.maxDocId).max))
 
   private[table] def relativize(root: Path, p: Path): String = {
     val rootStr = Path.getPathWithoutSchemeAndAuthority(root).toString
