@@ -20,6 +20,9 @@ object SparkEntry {
     "src_iterable" -> (Q.srcIterable _),
     "src_sql" -> (Q.srcSql _),
     "src_ttl_commands" -> (Q.srcTtlCommands _),
+    "src_csv" -> (Q.srcCsv _),
+    "src_jsonl" -> (Q.srcJsonl _),
+    "src_yaml" -> (Q.srcYaml _),
     // §2.2 filters
     "flt_values_match" -> (Q.fltValuesMatch _),
     "flt_values_exclude" -> (Q.fltValuesExclude _),
@@ -31,6 +34,7 @@ object SparkEntry {
     "tfm_expand_json" -> (Q.tfmExpandJson _),
     "tfm_switch" -> (Q.tfmSwitch _),
     "tfm_find_many_zip" -> (Q.tfmFindManyZip _),
+    "tfm_jsonpath" -> (Q.tfmJsonPath _),
     "tfm_interpret_source_node" -> (Q.tfmInterpretSourceNode _),
     "tfm_interpret_relationship" -> (Q.tfmInterpretRelationship _),
     "tfm_multi_pass" -> (Q.tfmMultiPass _),
@@ -106,6 +110,20 @@ object SparkEntry {
       "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source",
     "src_ttl_commands" ->
       "SELECT source AS object_type, CAST(24*length(source) AS INT) AS expiry_in_hours, CAST(100 AS INT) AS batch_size FROM (SELECT DISTINCT source FROM documents)",
+    "src_csv" ->
+      "SELECT doc_id, n_chars, lang, source FROM documents",
+    "src_jsonl" ->
+      "SELECT doc_id, n_chars, lang, source FROM documents",
+    "src_yaml" ->
+      "SELECT doc_id, lang FROM documents WHERE doc_id < 50",
+    "tfm_jsonpath" ->
+      """WITH d AS (SELECT doc_id, to_json({'meta': {'lang': lang, 'words': string_split(text, ' ')}}) AS j
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  json_extract_string(j, '$.meta.lang') AS jp_lang,
+        |  json_extract_string(j, '$.meta.words[1]') AS jp_w1,
+        |  CAST(json_extract(j, '$.meta.words') AS VARCHAR) AS jp_words
+        |FROM d""".stripMargin,
     "tfm_multi_pass" ->
       """SELECT 'Document' AS node_type, 'doc-' || CAST(doc_id AS VARCHAR) AS node_key, CAST(n_chars AS BIGINT) AS prop FROM documents
         |UNION ALL

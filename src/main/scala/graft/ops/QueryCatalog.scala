@@ -32,6 +32,48 @@ object QueryCatalog {
   def srcIterable(s: SparkSession, dir: String): DataFrame =
     s.range(1000).select(col("id"), pmod(col("id") * 7, lit(13)).as("v"))
 
+  import org.apache.spark.sql.types._
+  private val docMetaSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_chars", IntegerType),
+    StructField("lang", StringType), StructField("source", StringType)))
+
+  /** FileExtractor CSV codec round-trip (reference …/extractors/files.py:
+    * 332-341): the documents metadata is written as header CSV and read back
+    * through the codec registry — the gate compares against the parquet
+    * truth, so the codec must be lossless. */
+  def srcCsv(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src-csv").toString
+    val cols = Seq("doc_id", "n_chars", "lang", "source").map(col)
+    tbl(s, dir, "documents").select(cols: _*)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    graft.sources.FileSource.read(s, s"$tmp/*.csv", schema = Some(docMetaSchema))
+      .select(cols: _*)
+  }
+
+  /** FileExtractor JSONL codec round-trip (files.py:320-329). */
+  def srcJsonl(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src-jsonl").toString
+    val cols = Seq("doc_id", "n_chars", "lang", "source").map(col)
+    tbl(s, dir, "documents").select(cols: _*).write.mode("overwrite").json(tmp)
+    graft.sources.FileSource.read(s, s"$tmp/*.json", format = Some("jsonl"),
+      schema = Some(docMetaSchema)).select(cols: _*)
+  }
+
+  /** FileExtractor YAML codec (files.py:365-374): whole-file YAML documents
+    * parsed inside tasks, schema-aligned with the other codecs. */
+  def srcYaml(s: SparkSession, dir: String): DataFrame = {
+    val rows = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val yaml = rows.map { case (id, lang) => s"- doc_id: $id\n  lang: $lang" }.mkString("\n")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src-yaml")
+    java.nio.file.Files.writeString(tmp.resolve("docs.yaml"), yaml)
+    graft.sources.FileSource.read(s, s"$tmp/docs.yaml",
+      schema = Some(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType)))))
+      .select(col("doc_id"), col("lang"))
+  }
+
   // ======================================================== §2.2 filters
 
   /** ValuesMatchPossibilitiesFilter with lowercase normalization
@@ -111,23 +153,42 @@ object QueryCatalog {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
 
   /** SwitchTransformer: route by normalized key with default
-    * (reference …/transformers/transformer.py:126-163). */
+    * (reference …/transformers/transformer.py:126-163). The strict
+    * fail_on_unhandled mode (UnhandledBranchError) is spec-covered in
+    * InterpretSpec. */
   def tfmSwitch(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events").select(
       col("event_id"),
-      when(col("event_type") === "purchase", col("value").cast("decimal(18,2)") * 2)
-        .when(col("event_type") === "signup", col("value").cast("decimal(18,2)") + 10)
-        .otherwise(col("value").cast("decimal(18,2)")).cast("double").as("routed_value"))
+      Interpret.switchOn(col("event_type"),
+        Seq(
+          "purchase" -> (col("value").cast("decimal(18,2)") * 2),
+          "signup" -> (col("value").cast("decimal(18,2)") + 10)),
+        default = Some(col("value").cast("decimal(18,2)")))
+        .cast("double").as("routed_value"))
 
   /** find_many key-zip: arrays_zip + explode, the MultiNodeKeySearchAlgorithm
     * (reference …/relationship_interpretation.py:50-81). */
   def tfmFindManyZip(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents").filter(col("doc_id") < 100)
       .select(col("doc_id"),
-        explode(arrays_zip(
+        explode(Interpret.findManyZip(
           array(lit("lang"), lit("source")),
           array(col("lang"), col("source")))).as("kv"))
       .select(col("doc_id"), col("kv.0").as("k"), col("kv.1").as("v"))
+
+  /** Dynamic JMESPath document querying (reference …/value_providers/
+    * jmespath_value_provider.py:20-99): a nested JSON document queried with
+    * runtime-compiled paths — field access, array index, and whole-subtree
+    * extraction (projections are spec-covered in InterpretSpec). */
+  def tfmJsonPath(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").filter(col("doc_id") < 100)
+      .withColumn("j", to_json(struct(
+        struct(col("lang"), split(col("text"), " ").as("words")).as("meta"))))
+      .select(
+        col("doc_id"),
+        graft.functions.JmesPath.jsonPath(col("j"), "meta.lang").as("jp_lang"),
+        graft.functions.JmesPath.jsonPath(col("j"), "meta.words[1]").as("jp_w1"),
+        graft.functions.JmesPath.jsonPath(col("j"), "meta.words").as("jp_words"))
 
   /** SourceNodeInterpretation: typed node rows with lowercased keys and
     * default-normalized props (reference

@@ -62,9 +62,13 @@ object PipelineDsl {
   /** Parse a YAML pipeline. `annotationTargets`: like the reference's
     * load-time filtering (pipeline_file_loader.py:107-125) — when given,
     * annotated steps run only if one of their annotations is targeted;
-    * un-annotated steps always run. */
-  def parse(yaml: String, annotationTargets: Option[Set[String]] = None): Seq[PipelineStep] = {
-    val loader = new Yaml(new EnvConstructor)
+    * un-annotated steps always run. `config` backs the `!config key`
+    * resolver; `!include path` splices another YAML document. */
+  def parse(
+      yaml: String,
+      annotationTargets: Option[Set[String]] = None,
+      config: Map[String, AnyRef] = Map.empty): Seq[PipelineStep] = {
+    val loader = new Yaml(new ArgumentResolvers(config))
     val raw = loader.load[java.util.List[java.util.Map[String, AnyRef]]](yaml)
     require(raw != null, "empty pipeline")
     raw.asScala.toSeq.flatMap { m0 =>
@@ -88,9 +92,12 @@ object PipelineDsl {
     }
   }
 
-  def parseFile(path: String, annotationTargets: Option[Set[String]] = None): Seq[PipelineStep] =
+  def parseFile(
+      path: String,
+      annotationTargets: Option[Set[String]] = None,
+      config: Map[String, AnyRef] = Map.empty): Seq[PipelineStep] =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8), annotationTargets)
+      java.nio.charset.StandardCharsets.UTF_8), annotationTargets, config)
 
   private def buildStep(impl: String, args: Map[String, AnyRef]): PipelineStep = {
     def long(k: String, d: Long): Long = args.get(k).map(_.toString.toLong).getOrElse(d)
@@ -139,13 +146,33 @@ object PipelineDsl {
     }
   }
 
-  /** `!env VAR` argument resolver — reference
-    * nodestream/pipeline/argument_resolvers/environment_variable_resolver.py:6-11. */
-  private final class EnvConstructor extends SafeConstructor(new LoaderOptions) {
+  /** The reference's three argument resolvers, as YAML tag constructors:
+    * `!env VAR` (nodestream/pipeline/argument_resolvers/
+    * environment_variable_resolver.py:6-11), `!config key`
+    * (configuration_argument_resolver.py:27-35 — looks up a caller-provided
+    * configuration map), and `!include path` (include_file_resolver.py:7-16 —
+    * splices the parsed contents of another YAML file). */
+  private final class ArgumentResolvers(config: Map[String, AnyRef])
+      extends SafeConstructor(new LoaderOptions) {
     yamlConstructors.put(new Tag("!env"), new AbstractConstruct {
       def construct(node: Node): AnyRef = {
         val name = constructScalar(node.asInstanceOf[ScalarNode])
         sys.env.getOrElse(name, sys.error(s"!env: $name is not set"))
+      }
+    })
+    yamlConstructors.put(new Tag("!config"), new AbstractConstruct {
+      def construct(node: Node): AnyRef = {
+        val key = constructScalar(node.asInstanceOf[ScalarNode])
+        config.getOrElse(key, sys.error(s"!config: no configuration value for '$key'"))
+      }
+    })
+    yamlConstructors.put(new Tag("!include"), new AbstractConstruct {
+      def construct(node: Node): AnyRef = {
+        val path = constructScalar(node.asInstanceOf[ScalarNode])
+        val text = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        new Yaml(new ArgumentResolvers(config)).load[AnyRef](text)
       }
     })
   }

@@ -72,6 +72,48 @@ object SchemaEvolution {
     drops ++ renames ++ adds
   }
 
+  /**
+   * Auto change detection: diff two schema states into the minimal op list
+   * that evolves `old` into `target` — the reference's migration
+   * auto-detector (reference nodestream/schema/migrations/
+   * auto_change_detector.py:234-590) recast over the table's column algebra.
+   * Columns are matched by stable field-id, so renames are detected exactly
+   * (same id, different name); ids present only in `old` become drops, names
+   * present only in `target` become adds. Ops come out in the canonical
+   * reduced order (drops, renames, adds), and round-trip:
+   * `applyOps(old, diff(old, target)) == target` (property-tested).
+   */
+  def diff(
+      oldSchema: StructType, oldIds: Map[String, Int],
+      targetSchema: StructType, targetIds: Map[String, Int]): Seq[SchemaOp] = {
+    val oldById = oldIds.map(_.swap)
+    val targetById = targetIds.map(_.swap)
+    val drops = oldSchema.fields.toSeq
+      .filter(f => !targetById.contains(oldIds(f.name)))
+      .map(f => DropColumn(f.name))
+    val renames = oldSchema.fields.toSeq.flatMap { f =>
+      targetById.get(oldIds(f.name)).filter(_ != f.name).map(RenameColumn(f.name, _))
+    }
+    val adds = targetSchema.fields.toSeq
+      .filter(f => !oldById.contains(targetIds(f.name)))
+      .map(f => AddColumn(f.name, f.dataType.sql))
+    drops ++ renames ++ adds
+  }
+
+  /** Name-matched diff for when field-ids are unknown (e.g. comparing to an
+    * external desired schema): same-name columns are kept, old-only columns
+    * dropped, target-only columns added — renames are indistinguishable from
+    * drop+add without ids, exactly like the reference detector without its
+    * interactive rename prompt. */
+  def diffByName(oldSchema: StructType, targetSchema: StructType): Seq[SchemaOp] = {
+    val oldNames = oldSchema.fieldNames.toSet
+    val targetNames = targetSchema.fieldNames.toSet
+    oldSchema.fields.toSeq.filterNot(f => targetNames.contains(f.name))
+      .map(f => DropColumn(f.name)) ++
+      targetSchema.fields.toSeq.filterNot(f => oldNames.contains(f.name))
+        .map(f => AddColumn(f.name, f.dataType.sql))
+  }
+
   /** Apply (already reduced) ops to a schema + field-id map; returns the new
     * schema, the new name→fieldId map, and the next unused field id. */
   def applyOps(
