@@ -230,23 +230,7 @@ object Maintenance {
     // bucket just above a file's max can flag it) — pruning only ever
     // over-approximates, the key-equality join below stays exact.
     val live = table.liveFiles()
-    val touched: Seq[DataFileMeta] = if (live.isEmpty) Seq.empty else {
-      val endpoints: Array[String] =
-        live.flatMap(f => Seq(f.minDocId, f.maxDocId)).distinct.sorted.toArray
-      val bounds: Array[AnyRef] = endpoints.map(s =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(s): AnyRef)
-      val bucketCol = ExpressionUtils.column(
-        RangeBucket(ExpressionUtils.expression(col("doc_id")), bounds))
-      val hits: Array[Int] = debounced.select(bucketCol.as("_b"))
-        .distinct().collect().map(_.getInt(0)).sorted
-      def anyHitIn(lo: Int, hi: Int): Boolean = {
-        var l = 0; var h = hits.length
-        while (l < h) { val m = (l + h) >>> 1; if (hits(m) < lo) l = m + 1 else h = m }
-        l < hits.length && hits(l) <= hi
-      }
-      val idx: Map[String, Int] = endpoints.zipWithIndex.toMap
-      live.filter(f => anyHitIn(idx(f.minDocId), idx(f.maxDocId)))
-    }
+    val touched = touchedFiles(debounced, live)
     val touchedPaths: Set[String] = touched.map(_.path).toSet
 
     val target = table.readFiles(spark, touched)
@@ -298,6 +282,36 @@ object Maintenance {
     debounced.unpersist()
     runPostHooks()
     snap
+  }
+
+  /** The batch side of the pruning probe: every batch key mapped to its
+    * endpoint-interval id by a codegen'd binary search (one scan, distinct
+    * ids bounded by 2|files|+1). Exposed for plan evidence (PLANS.md) —
+    * the probe must never plan as a BroadcastNestedLoopJoin. */
+  def pruneProbe(batchKeys: DataFrame, endpoints: Array[String]): DataFrame = {
+    val bounds: Array[AnyRef] = endpoints.map(s =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s): AnyRef)
+    val bucketCol = ExpressionUtils.column(
+      RangeBucket(ExpressionUtils.expression(col("doc_id")), bounds))
+    batchKeys.select(bucketCol.as("_b")).distinct()
+  }
+
+  /** Files whose [minDocId, maxDocId] may contain a batch key — interval
+    * stabbing over the sorted distinct file endpoints (see mergeInto doc). */
+  private[graft] def touchedFiles(
+      debounced: DataFrame, live: Seq[DataFileMeta]): Seq[DataFileMeta] = {
+    if (live.isEmpty) return Seq.empty
+    val endpoints: Array[String] =
+      live.flatMap(f => Seq(f.minDocId, f.maxDocId)).distinct.sorted.toArray
+    val hits: Array[Int] = pruneProbe(debounced, endpoints)
+      .collect().map(_.getInt(0)).sorted
+    def anyHitIn(lo: Int, hi: Int): Boolean = {
+      var l = 0; var h = hits.length
+      while (l < h) { val m = (l + h) >>> 1; if (hits(m) < lo) l = m + 1 else h = m }
+      l < hits.length && hits(l) <= hi
+    }
+    val idx: Map[String, Int] = endpoints.zipWithIndex.toMap
+    live.filter(f => anyHitIn(idx(f.minDocId), idx(f.maxDocId)))
   }
 
   /**

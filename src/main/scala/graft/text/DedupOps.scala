@@ -85,9 +85,9 @@ object DedupOps {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val k = bands * rowsPerBand
-    val base = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val sigs = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigs = base
       .select(col("id"), transform(col("sh"), TextOps.polyHash2 _).as("hp"))
       .select(col("id") +: minHashes(col("hp"), k): _*)
     val banded = sigs.select(
@@ -97,14 +97,35 @@ object DedupOps {
           array((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*).as("key"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.key").as("key"))
-    val pairs = banded.toDF("a_id", "band", "key")
-      .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+    // Candidates via groupBy-bucket + in-bucket pair expansion, NOT a
+    // self-join: a self-join would execute the whole shingle/minhash
+    // pipeline once per side. One aggregation computes every bucket, and
+    // the a<b pairs come from the sorted member list (quadratic only inside
+    // a bucket — the LSH invariant that buckets stay small).
+    val sortedIds = sort_array(col("ids"))
+    val pairCombos = flatten(transform(
+      sequence(lit(0), size(sortedIds) - 2),
+      i => transform(
+        slice(sortedIds, i + 2, size(sortedIds)),
+        b => struct(element_at(sortedIds, i + 1).as("id_a"), b.as("id_b")))))
+    val pairs = banded
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombos).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
+    // Exact-Jaccard verify over ONLY the matched docs: the broadcast
+    // semi-join filters rows before the shingle recompute, so the verify
+    // pass costs O(|matched docs|), not O(|corpus|).
+    val pairIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val vsh = docs
+      .join(broadcast(pairIds), docs(idCol) === pairIds("id"), "left_semi")
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     pairs
-      .join(base.toDF("id_a", "a_sh"), Seq("id_a"))
-      .join(base.toDF("id_b", "b_sh"), Seq("id_b"))
+      .join(vsh.toDF("id_a", "a_sh"), Seq("id_a"))
+      .join(vsh.toDF("id_b", "b_sh"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))).cast("double"), 4).as("jaccard"))

@@ -104,9 +104,17 @@ object TextOps {
       lit(0L), (acc, x) => pmod(acc * base + x, lit(mod)))
 
   /** Both base hashes of a string as a struct (h1, h2) — computed once,
-    * reused by every seeded hash (Kirsch–Mitzenmacher double hashing). */
+    * reused by every seeded hash (Kirsch–Mitzenmacher double hashing).
+    * Single pass over the characters: one split + one fold carries both
+    * accumulators (two separate folds would double the per-char allocation
+    * cost, the hot part of shingle hashing). */
   def polyHash2(c: Column): Column =
-    struct(polyHash(c, 131, HashMod1).as("h1"), polyHash(c, 137, HashMod2).as("h2"))
+    aggregate(
+      transform(filter(split(c, ""), ch => length(ch) > 0), ch => ascii(ch).cast("long")),
+      struct(lit(0L).as("h1"), lit(0L).as("h2")),
+      (acc, x) => struct(
+        pmod(acc.getField("h1") * 131 + x, lit(HashMod1)).as("h1"),
+        pmod(acc.getField("h2") * 137 + x, lit(HashMod2)).as("h2")))
 
   /** The i-th member of the double-hash family: ((i+1)*h1 + (i²+1)*h2 + i)
     * mod p1. (i+1)*h1 <= 2^36 for i < 64 — no overflow anywhere. */
