@@ -72,6 +72,7 @@ object SparkEntry {
     "maint_schema_evolution" -> ((s, d) => MaintPipelines.schemaEvolutionRoundtrip(s, d)),
     "maint_incremental" -> ((s, d) => MaintPipelines.incrementalRoundtrip(s, d)),
     "maint_stream_append" -> ((s, d) => MaintPipelines.streamAppendRoundtrip(s, d)),
+    "stream_window_counts" -> (Q.streamWindowCounts _),
     // dedup
     "ddp_exact" -> (Q.ddpExact _),
     "ddp_jaccard_pairs" -> (Q.ddpJaccardPairs _),
@@ -185,6 +186,11 @@ object SparkEntry {
     "maint_incremental" -> MaintPipelines.incrementalOracle,
     "maint_stream_append" -> MaintPipelines.streamAppendOracle,
     "maint_delete" -> MaintPipelines.deleteOracle,
+    "stream_window_counts" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type, COUNT(*) AS cnt
+        |FROM events
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |GROUP BY 1, 2""".stripMargin,
     "ddp_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
     "ddp_jaccard_pairs" ->

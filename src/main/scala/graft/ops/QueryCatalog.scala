@@ -138,6 +138,37 @@ object QueryCatalog {
         (length(col("object_type")) * 24).cast("int").as("expiry_in_hours"),
         lit(100).as("batch_size"))
 
+  /** Watermarked event-time windowed aggregation (§2.6 beyond Flush): the
+    * events table replayed as a multi-batch file stream; tumbling 1-day
+    * windows emit in append mode once the watermark (max event time − 1h)
+    * passes the window end. The driver's oracle reproduces the emission rule
+    * relationally. */
+  def streamWindowCounts(s: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
+    val events = tbl(s, dir, "events")
+    // Replay in event-time order (4 sequential time-quartile files): an
+    // unordered replay would race the advancing watermark and drop
+    // arbitrary events as late — a replay artifact, not stream semantics.
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val bucketed = events.withColumn("_b", ntile(4).over(w))
+    (1 to 4).foreach { k =>
+      bucketed.filter(col("_b") === k).drop("_b")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/b$k")
+    }
+    val stream = s.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/*")
+      // watermarks require TIMESTAMP (ltz); the table stores NTZ — UTC session
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val counts = graft.streaming.Stateful.windowedCounts(
+      stream, tsCol = "ts", keyCol = "event_type",
+      watermarkDelay = "1 hour", windowDuration = "1 day")
+    val sink = "win_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = counts.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    s.table(sink)
+  }
+
   // =================================================== §2.3 transformers
 
   /** ValueProjection: explode many_values + merge additional_values

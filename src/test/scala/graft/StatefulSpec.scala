@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.Stateful
+
+/** Event-time stateful streaming: flatMapGroupsWithState sessionization
+  * closes sessions both by a later out-of-gap event and by event-time
+  * timeout, and never emits a session the watermark cannot yet prove closed. */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(u: Long, sec: Long) = Stateful.Event(u, new Timestamp(sec * 1000))
+
+  test("sessionize closes by gap, closes by event-time timeout, keeps open sessions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Stateful.Event]
+    val sessions = Stateful.sessionize(input.toDS(), gapMs = 60000, watermarkDelay = "0 seconds")
+    val name = "sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // user 1: [5s, 30s] then an event at 200s (gap 60s exceeded) closes it
+      // user 2: single event at 10s, closed later by timeout
+      // note: an event at ts=0 would equal the initial watermark and be dropped as late
+      input.addData(ev(1, 5), ev(1, 30), ev(1, 200), ev(2, 10))
+      q.processAllAvailable()
+      // watermark is now 200s: user 2's timeout (10s + 60s) fires on the next
+      // batch; user 1's new session [1000s] stays open (timeout 1060s > wm)
+      input.addData(ev(1, 1000))
+      q.processAllAvailable()
+      val out = spark.table(name).as[Stateful.Session].collect()
+        .map(s => (s.user_id, s.start.getTime / 1000, s.end.getTime / 1000, s.n_events))
+        .toSet
+      assert(out == Set((1L, 5L, 30L, 2L), (1L, 200L, 200L, 1L), (2L, 10L, 10L, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize merges in-gap events across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Stateful.Event]
+    val sessions = Stateful.sessionize(input.toDS(), gapMs = 60000, watermarkDelay = "0 seconds")
+    val name = "sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(ev(7, 100))
+      q.processAllAvailable()
+      input.addData(ev(7, 150)) // within gap: extends the open session
+      q.processAllAvailable()
+      input.addData(ev(7, 500)) // past gap: closes [100, 150] with 2 events
+      q.processAllAvailable()
+      val out = spark.table(name).as[Stateful.Session].collect()
+        .map(s => (s.user_id, s.start.getTime / 1000, s.end.getTime / 1000, s.n_events))
+        .toSet
+      assert(out == Set((7L, 100L, 150L, 2L)))
+    } finally q.stop()
+  }
+}
