@@ -23,11 +23,13 @@ object SparkEntry {
     "src_csv" -> (Q.srcCsv _),
     "src_jsonl" -> (Q.srcJsonl _),
     "src_yaml" -> (Q.srcYaml _),
+    "src_api" -> (Q.srcApi _),
     // §2.2 filters
     "flt_values_match" -> (Q.fltValuesMatch _),
     "flt_values_exclude" -> (Q.fltValuesExclude _),
     "flt_regex" -> (Q.fltRegex _),
     "flt_condition_algebra" -> (Q.fltConditionAlgebra _),
+    "flt_contains" -> (Q.fltContains _),
     "flt_schema_enforcer" -> (Q.fltSchemaEnforcer _),
     // §2.3 transformers / interpretations
     "tfm_value_projection" -> (Q.tfmValueProjection _),
@@ -105,6 +107,10 @@ object SparkEntry {
       "SELECT event_id, event_type FROM events WHERE regexp_matches(event_type, '^(sign|purch)')",
     "flt_condition_algebra" ->
       "SELECT event_id, user_id, event_type FROM events WHERE (event_type = 'purchase' AND value > 100.0) OR (NOT (user_id < 10) AND event_type <> 'error')",
+    "flt_contains" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE contains(event_type, 'urch') OR (contains(props, '7') AND user_id < 5)",
+    "src_api" ->
+      "SELECT source, CAST(i AS INT) AS row_id, CAST((length(source)*31 + i*7) % 13 AS INT) AS v FROM (SELECT DISTINCT source FROM documents), (SELECT UNNEST(generate_series(0, 49)) AS i)",
     "flt_schema_enforcer" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events WHERE event_id % 13 <> 0",
     "src_sql" ->

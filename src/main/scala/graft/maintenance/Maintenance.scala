@@ -266,17 +266,28 @@ object Maintenance {
 
     val stepId = s"merge-snap${table.metadata.currentSnapshotId.getOrElse(0L)}-${touchedPaths.hashCode()}"
     val ledger = new Ledger(table, stepId)
+    // Per-flush observed counters (the reference's QueryExecutorWithStatistics,
+    // nodestream/databases/query_executor_with_statistics.py): an Observation
+    // rides the write action — zero extra jobs — and lands in the snapshot
+    // summary. Attached only on a live write: a ledger-resumed merge replays
+    // staged files and has no action for the observation to observe.
+    var observed: Map[String, String] = Map.empty
     val staged = ledger.completedUnits().getOrElse("merge", {
       val stagingDir = new Path(table.dataDir, s"$stepId/merge")
       if (table.fs.exists(stagingDir)) table.fs.delete(stagingDir, true)
-      val outs = table.stageWrite(balanced, s"$stepId/merge")
+      val obs = new org.apache.spark.sql.Observation(s"graft-$stepId")
+      val outs = table.stageWrite(
+        balanced.observe(obs, count(lit(1)).as("rows"),
+          coalesce(sum(col("n_tok").cast("long")), lit(0L)).as("tokens")),
+        s"$stepId/merge")
+      observed = obs.get.map { case (k, v) => s"observed-$k" -> String.valueOf(v) }.toMap
       ledger.record("merge", outs)
       outs
     })
     Failpoints.hit("merge.before-commit")
     val snap = table.commit("merge", staged, touchedPaths,
       summary = Map("rule" -> rule.toString.toLowerCase,
-        "touched-files" -> touched.size.toString) ++ extraSummary,
+        "touched-files" -> touched.size.toString) ++ observed ++ extraSummary,
       replacedRange = TokenTable.docRange(touched))
     ledger.clear()
     debounced.unpersist()

@@ -104,6 +104,26 @@ object QueryCatalog {
         (!(col("user_id") < 10) && col("event_type") =!= "error"))
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** Condition algebra `contains` comparator (reference
+    * …/interpretations/conditions.py substring matching) composed with
+    * and/or — the one comparator flt_condition_algebra left unexercised. */
+  def fltContains(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .filter(col("event_type").contains("urch") ||
+        (col("props").contains("7") && col("user_id") < 5))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  /** SimpleApiExtractor recast: shard-parallel paged fetch inside tasks
+    * (sources/ApiSource.scala) with a deterministic fake pager. */
+  def srcApi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shards = tbl(s, dir, "documents")
+      .select(col("source")).distinct().as[String].collect().sorted.toSeq
+    graft.sources.ApiSource.fetchSharded(s, shards, shard =>
+      (0 until 50).iterator.map(i => (shard, i, (shard.length * 31 + i * 7) % 13)))
+      .toDF("source", "row_id", "v")
+  }
+
   /** SchemaEnforcer (reference nodestream/pipeline/filters.py:179-363):
     * infer a JSON schema from a bounded sample, then ENFORCE — drop records
     * whose `props` no longer conform. Every 13th event is corrupted to give

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.SequenceGen
+import graft.maintenance.{CreationRule, Maintenance}
+
+/** Observed per-flush counters (QueryExecutorWithStatistics analogue): a
+  * MERGE's snapshot summary carries rows/tokens observed on the write action
+  * itself — no extra job. */
+class MetricsSpec extends SparkSpec {
+
+  test("mergeInto records observed row and token counters in the snapshot summary") {
+    val root = tmpDir("graft-metrics")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 300, nFiles = 4)
+    val batch = t.scan(spark).filter(col("doc_id") < "doc000000000050")
+      .select(col("doc_id"), col("tokens"), (col("n_tok") + 0).as("n_tok"), col("source"))
+    val snap = Maintenance.mergeInto(spark, t, batch, CreationRule.Eager)
+    val rows = snap.summary.get("observed-rows").map(_.toLong)
+    val toks = snap.summary.get("observed-tokens").map(_.toLong)
+    assert(rows.nonEmpty && toks.nonEmpty, s"missing observed counters: ${snap.summary}")
+    // the COW rewrite writes every row of the touched files — at least the
+    // batch rows, at most the whole table
+    assert(rows.get >= 50 && rows.get <= 300)
+    val total = t.scan(spark).agg(sum(col("n_tok").cast("long"))).collect()(0).getLong(0)
+    assert(toks.get > 0 && toks.get <= total)
+  }
+}
