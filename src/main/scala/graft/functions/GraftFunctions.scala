@@ -34,7 +34,10 @@ object GraftFunctions {
     CurveIndex(exprs.tail, bits, hilbert)
   }
 
-  /** Register zorder_key / hilbert_key for SQL. */
+  /** Column API: JMESPath-subset extraction (see [[JmesPath]]). */
+  def json_path(json: Column, path: String): Column = JmesPath.jsonPath(json, path)
+
+  /** Register zorder_key / hilbert_key / json_path for SQL. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(
@@ -45,5 +48,17 @@ object GraftFunctions {
       FunctionIdentifier("hilbert_key"),
       new ExpressionInfo(classOf[CurveIndex].getName, "hilbert_key"),
       exprs => curveBuilder(hilbert = true)(exprs))
+    reg.registerFunction(
+      FunctionIdentifier("json_path"),
+      new ExpressionInfo(classOf[JsonPathExtract].getName, "json_path"),
+      exprs => {
+        require(exprs.size == 2, "usage: json_path(json, 'path')")
+        val path = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
+            s.toString
+          case other => sys.error(s"json_path: path must be a string literal, got $other")
+        }
+        JsonPathExtract(exprs.head, path)
+      })
   }
 }

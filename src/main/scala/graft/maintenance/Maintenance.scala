@@ -389,9 +389,11 @@ object Maintenance {
    * node matched by pattern instead of exact key): each batch row carries a
    * `doc_pattern` regex; every live row whose doc_id matches gets the batch
    * row's payload. Executed as a broadcast theta-join (the batch is small by
-   * construction — patterns are human-authored rules), copy-on-write over
-   * ALL files (a regex cannot be range-pruned; callers with a literal
-   * prefix should use DocIdBetween-style predicates instead). Never inserts.
+   * construction — patterns are human-authored rules). Copy-on-write over
+   * only the files a pattern can possibly match when every pattern is
+   * start-anchored with a literal prefix (range-pruned via
+   * [[literalPrefix]]/[[prefixSuccessor]]); an arbitrary regex cannot be
+   * range-pruned and rewrites everything. Never inserts.
    * When several patterns match one row, the lexicographically-largest
    * pattern wins (deterministic).
    */
@@ -401,7 +403,24 @@ object Maintenance {
       batch: DataFrame, // doc_pattern, tokens, n_tok, source
       targetFileBytes: Long = DefaultTargetFileBytes): Snapshot = {
     val live = table.liveFiles()
-    val target = table.readFiles(spark, live)
+    // Literal-prefix fast path: when EVERY pattern is anchored with a literal
+    // prefix (`^doc00042…`), a file can only contain matches if its doc_id
+    // range intersects [prefix, prefixSuccessor) — the common
+    // human-authored-rule shape then rewrites a handful of files instead of
+    // the whole table. Any non-prefixable pattern forces the full rewrite
+    // (an unanchored regex can match anywhere; pruning must never drop a
+    // possible match).
+    val patterns = batch.select(col("doc_pattern")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val prefixes = patterns.map(literalPrefix)
+    val touched: Seq[DataFileMeta] =
+      if (prefixes.exists(_.isEmpty)) live
+      else live.filter(f => prefixes.flatten.exists(p =>
+        f.maxDocId >= p && prefixSuccessor(p).forall(f.minDocId < _)))
+    if (touched.isEmpty)
+      return table.commit("merge", Seq.empty, Set.empty,
+        summary = Map("rule" -> "fuzzy", "touched-files" -> "0"))
+    val target = table.readFiles(spark, touched)
     val b = broadcast(batch.select(
       col("doc_pattern"),
       col("tokens").as("_b_tokens"), col("n_tok").as("_b_n_tok"),
@@ -425,13 +444,42 @@ object Maintenance {
           coalesce(col("_r._b_source"), col("_r.source")).as("source")) ++
           extras.map(c => col(s"_r.$c").as(c)): _*)
     val nOut = math.max(1, math.ceil(
-      live.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
+      touched.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
     val staged = table.stageWrite(
-      repartitionByTokenMass(merged, nOut, Some(live.map(_.records).sum)),
+      repartitionByTokenMass(merged, nOut, Some(touched.map(_.records).sum)),
       s"merge-fuzzy-${java.util.UUID.randomUUID()}")
-    table.commit("merge", staged, live.map(_.path).toSet,
-      summary = Map("rule" -> "fuzzy"),
-      replacedRange = TokenTable.docRange(live))
+    table.commit("merge", staged, touched.map(_.path).toSet,
+      summary = Map("rule" -> "fuzzy",
+        "touched-files" -> touched.size.toString,
+        "pruned-files" -> (live.size - touched.size).toString),
+      replacedRange = TokenTable.docRange(touched))
+  }
+
+  /** Longest literal prefix every match of `pattern` must start with, when
+    * the pattern is start-anchored and opens with literal characters; None
+    * when no prefix can be proven (unanchored, or a leading metacharacter).
+    * A quantifier directly after the literal run makes its last character
+    * optional, so that character is excluded. */
+  private[graft] def literalPrefix(pattern: String): Option[String] = {
+    if (!pattern.startsWith("^")) return None
+    val meta = ".^$*+?()[]{}|\\"
+    val sb = new StringBuilder
+    var i = 1
+    while (i < pattern.length && meta.indexOf(pattern.charAt(i)) < 0) {
+      sb += pattern.charAt(i); i += 1
+    }
+    if (i < pattern.length && "*?{".indexOf(pattern.charAt(i)) >= 0 && sb.nonEmpty)
+      sb.setLength(sb.length - 1)
+    if (sb.isEmpty) None else Some(sb.toString)
+  }
+
+  /** Smallest string strictly greater than every string with prefix `p`
+    * (None when no such string exists — all chars at Char.MaxValue). */
+  private[graft] def prefixSuccessor(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 
   // ------------------------------------------------------------- TTL delete
