@@ -85,6 +85,8 @@ object SparkEntry {
     "ann_brute_topk" -> (Q.annBruteTopK _),
     "ann_lsh_topk" -> (Q.annLshTopK _),
     "ann_ivf_topk" -> (Q.annIvfTopK _),
+    "ann_quantize_int8" -> (Q.annQuantizeInt8 _),
+    "pack_chunks" -> (Q.packChunks _),
     // text analysis
     "txt_langid" -> (Q.txtLangId _),
     "txt_quality" -> (Q.txtQuality _),
@@ -263,5 +265,30 @@ object SparkEntry {
     "ddp_embed_cosine_dup" -> ops.OracleSql.embedCosineDup(planes = 4, threshold = 0.2),
     "ann_lsh_topk" -> ops.OracleSql.annLshTopK(planes = 6, k = 5, queryFilter = "id < 5"),
     // full-probe IVF is exact: the oracle is the brute-force ranking itself
-    "ann_ivf_topk" -> ops.OracleSql.bruteTopK(k = 5, queryFilter = "vec_id < 5"))
+    "ann_ivf_topk" -> ops.OracleSql.bruteTopK(k = 5, queryFilter = "vec_id < 5"),
+    "ann_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s,
+        |    embedding FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, s,
+        |    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / s) AS INT)) END AS qv
+        |  FROM q)
+        |SELECT vec_id, ROUND(s, 6) AS scale6,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  CAST(list_max(qv) AS INT) AS q_max
+        |FROM qq""".stripMargin,
+    "pack_chunks" ->
+      """WITH o AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n,
+        |    COALESCE(CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, n, off, UNNEST(generate_series(off // 4096, (off + n - 1) // 4096)) AS chunk_id
+        |  FROM o WHERE n > 0)
+        |SELECT chunk_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEAST(off + n, (chunk_id + 1) * 4096) - GREATEST(off, chunk_id * 4096)) AS BIGINT) AS n_tokens
+        |FROM spans GROUP BY 1""".stripMargin)
 }

@@ -457,6 +457,27 @@ object QueryCatalog {
     AnnOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, nCells = 16, nProbe = 16)
   }
 
+  /** Symmetric int8 embedding quantization: per-vector scale + exact
+    * integer invariants of the quantized codes (the reconstruction-error
+    * bound lives in AnnSpec — float-free outputs keep the oracle exact). */
+  def annQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val q = AnnOps.quantizeInt8(col("embedding"))
+    emb.select(
+      col("vec_id"),
+      round(AnnOps.int8Scale(col("embedding")), 6).as("scale6"),
+      aggregate(q, lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
+      array_max(q).as("q_max"))
+  }
+
+  /** Sequence packing / token-stream chunking (SequencePack): global token
+    * offsets via a distributed prefix sum, then per-chunk packing stats for
+    * 4096-token chunks (n_chars stands in as the per-doc token count — the
+    * operator is generic over any (id, length) pair). */
+  def packChunks(s: SparkSession, dir: String): DataFrame =
+    graft.text.SequencePack.chunkStats(
+      tbl(s, dir, "documents"), maxLen = 4096, idCol = "doc_id", nCol = "n_chars")
+
   // ===================================== training-data ops: text analysis
 
   def txtLangId(s: SparkSession, dir: String): DataFrame =

@@ -13,12 +13,18 @@ import org.apache.spark.sql.functions._
  */
 object DedupOps {
 
-  /** Exact dedup by full text: keep the smallest id per text. One shuffle
-    * (hash partial-agg both sides of the exchange). */
+  /** Exact dedup by full text: keep the smallest id per text. One shuffle,
+    * whose grouping key is a 128-bit content hash (two independent xxhash64
+    * seeds) rather than the text itself — with mostly-unique documents the
+    * map-side partial aggregation cannot shrink the data, so grouping by raw
+    * text would push the entire corpus through the exchange; the hash key
+    * moves 16 bytes + id per row. Collision odds at 10^12 docs ≈ 1e-12
+    * (birthday bound on 128 bits). Re-join on id for the surviving text. */
   def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(col(textCol))
+    docs.groupBy(
+      xxhash64(col(textCol), lit(1)).as("_h1"), xxhash64(col(textCol), lit(2)).as("_h2"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
-      .select(col(idCol), col(textCol), col("dup_count"))
+      .select(col(idCol), col("dup_count"))
 
   /** Distinct lowercase word set of a text column (the 1-gram shingle set). */
   def wordSet(textCol: org.apache.spark.sql.Column) =

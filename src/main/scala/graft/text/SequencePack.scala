@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/**
+ * Training-sequence preparation: the corpus's token stream, concatenated in
+ * id order, split into fixed-length training chunks (the "sequence packing"
+ * step in an LLM data pipeline — documents rarely align with the context
+ * length, so the pipeline must know exactly which documents land in which
+ * fixed-length chunk, and where).
+ *
+ * The hard part at 10^12 docs is the GLOBAL token offset of every document —
+ * a prefix sum over the whole corpus. A single-partition window would
+ * serialize the job; instead this is the classic distributed scan:
+ * range-partition by id, one pass for per-partition token totals (one row
+ * per partition — metadata-scale collect), broadcast the partition prefix
+ * offsets, one pass writing running offsets. Per-partition imperative
+ * cumsum is genuine sequential logic, so it runs via `mapPartitions` — the
+ * one place the RDD escape hatch is the right tool.
+ */
+object SequencePack {
+
+  /**
+   * (id, n_tok, tok_offset) with `tok_offset` the exclusive global prefix
+   * sum of `n_tok` in ascending `idCol` order. `idCol` must be unique (the
+   * total order); offsets are independent of the partition count.
+   */
+  def globalTokenOffsets(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      nCol: String = "n_tok",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = docs.select(col(idCol), col(nCol).cast("long").as("_n"))
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(idCol)
+
+    // pass 1: per-partition totals — one row per partition
+    val totals: Array[(Int, Long)] = sorted.rdd.mapPartitions { it =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(1))
+      Iterator((TaskContext.getPartitionId(), s))
+    }.collect()
+    val prefix: Map[Int, Long] = {
+      val byPid = totals.sortBy(_._1)
+      var acc = 0L
+      byPid.map { case (pid, s) => val p = (pid, acc); acc += s; p }.toMap
+    }
+    val prefixBc = spark.sparkContext.broadcast(prefix)
+
+    // pass 2: partition-local running offsets starting at the broadcast base
+    val rows = sorted.rdd.mapPartitions { it =>
+      var acc = prefixBc.value.getOrElse(TaskContext.getPartitionId(), 0L)
+      it.map { r =>
+        val off = acc
+        acc += r.getLong(1)
+        Row(r.get(0), r.getLong(1), off)
+      }
+    }
+    val schema = StructType(sorted.schema.fields.take(1))
+      .add("n_tok", LongType, nullable = false)
+      .add("tok_offset", LongType, nullable = false)
+    spark.createDataFrame(rows, schema)
+  }
+
+  /**
+   * Per-document chunk contributions for fixed-length chunks of `maxLen`
+   * tokens over the packed stream: a doc at offset o with n tokens spans
+   * chunks floor(o/L)..floor((o+n-1)/L), contributing
+   * `min(o+n, (c+1)L) - max(o, cL)` tokens to chunk c. Offsets stay below
+   * 2^53, so the floor-of-double division is exact.
+   */
+  def chunkContributions(withOffsets: DataFrame, maxLen: Long): DataFrame = {
+    val o = col("tok_offset")
+    val n = col("n_tok")
+    val c = col("chunk_id")
+    withOffsets
+      .filter(n > 0)
+      .select(withOffsets.columns.map(col) :+
+        explode(sequence(
+          floor(o / maxLen).cast("long"),
+          floor((o + n - 1) / maxLen).cast("long"))).as("chunk_id"): _*)
+      .withColumn("tokens_in_chunk",
+        least(o + n, (c + 1) * maxLen) - greatest(o, c * maxLen))
+  }
+
+  /** Per-chunk packing stats: documents touching the chunk and its token
+    * fill (== maxLen everywhere but the tail chunk). */
+  def chunkStats(docs: DataFrame, maxLen: Long,
+      idCol: String = "doc_id", nCol: String = "n_tok"): DataFrame =
+    chunkContributions(globalTokenOffsets(docs, idCol, nCol), maxLen)
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens_in_chunk")).as("n_tokens"))
+}
