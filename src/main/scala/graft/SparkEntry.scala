@@ -231,7 +231,7 @@ object SparkEntry {
       "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpeish_tokens FROM documents",
     "txt_fingerprint" ->
       """WITH RECURSIVE f AS (
-        |  SELECT doc_id, substring(text, 1, 64) AS pre, 1 AS i, CAST(0 AS BIGINT) AS acc FROM documents
+        |  SELECT doc_id, text AS pre, 1 AS i, CAST(0 AS BIGINT) AS acc FROM documents
         |  UNION ALL
         |  SELECT doc_id, pre, i + 1, (acc*131 + COALESCE(ascii(substring(pre, i, 1)), 0)) % 1000000007 FROM f WHERE i <= GREATEST(length(pre), 1)
         |)

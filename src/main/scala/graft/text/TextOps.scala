@@ -75,16 +75,15 @@ object TextOps {
 
   /**
    * Order-sensitive rolling document fingerprint: polynomial position-weighted
-   * hash over the character codes of the first 64 chars — pure integer math
-   * so an independent SQL engine reproduces it exactly.
+   * hash over the character codes of the WHOLE text — pure integer math so an
+   * independent SQL engine reproduces it exactly (no prefix truncation: two
+   * documents differing only past any prefix still fingerprint apart).
    */
-  def fingerprint64(text: Column): Column = {
-    val prefix = substring(text, 1, 64)
+  def fingerprint64(text: Column): Column =
     aggregate(
-      sequence(lit(1), greatest(length(prefix), lit(1))),
+      sequence(lit(1), greatest(length(text), lit(1))),
       lit(0L),
-      (acc, i) => pmod(acc * 131 + coalesce(ascii(prefix.substr(i, lit(1))), lit(0)), lit(1000000007L)))
-  }
+      (acc, i) => pmod(acc * 131 + coalesce(ascii(text.substr(i, lit(1))), lit(0)), lit(1000000007L)))
 
   // ------------------------------------------------------- portable hashing
   // Engine-portable hash family: pure integer column math (no xxhash64 —
