@@ -27,8 +27,14 @@ import graft.table.TokenTable
  * Below the rewrite, the parquet source still applies its own row-group
  * pruning and column pruning — two stacked pushdown layers.
  */
-final case class TokenTableRelation(path: String, output: Seq[Attribute]) extends LeafNode {
+final case class TokenTableRelation(
+    path: String, output: Seq[Attribute], sizeBytes: BigInt) extends LeafNode {
   override def simpleString(maxFields: Int): String = s"TokenTableRelation $path"
+  /** Manifest-derived size so Catalyst's CBO (join selection, broadcast
+    * thresholds) sees real numbers even before the pruning rule rewrites
+    * the leaf into a parquet scan. */
+  override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(sizeInBytes = sizeBytes)
 }
 
 object GraftTableSource {
@@ -39,7 +45,9 @@ object GraftTableSource {
     val schema = t.schema
     val attrs = schema.fields.toSeq.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
-    PlanBridge.ofRows(spark, TokenTableRelation(path, attrs))
+    // empty tables (no snapshot yet) read as empty: minimal positive size
+    val size = BigInt(scala.util.Try(t.liveFiles().map(_.bytes).sum).getOrElse(0L)).max(1)
+    PlanBridge.ofRows(spark, TokenTableRelation(path, attrs, size))
   }
 
   /** Idempotently add the pruning rule to this session's optimizer. */

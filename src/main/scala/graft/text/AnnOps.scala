@@ -211,18 +211,37 @@ object AnnOps {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
-  /** Cosine near-duplicate pairs via LSH blocking + exact verify. */
+  /** Cosine near-duplicate pairs via LSH blocking + exact verify. Candidate
+    * pairs come from a groupBy-bucket + in-bucket expansion over (id, sig)
+    * only — a self-join would both compute the signatures twice and carry
+    * the full vectors through the bucket shuffle; the exact-cosine verify
+    * re-joins vectors for just the matched ids behind a broadcast semi-join. */
   def cosineNearDupPairs(
       corpus: DataFrame,
       threshold: Double,
       planes: Int = 6,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(col(vecCol), planes).as("sig"))
-    val a = sigs.toDF("id_a", "v_a", "sig")
-    val b = sigs.toDF("id_b", "v_b", "sig")
-    a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+    val sigs = corpus.select(col(idCol).as("id"), lshSignature(col(vecCol), planes).as("sig"))
+    val sortedIds = sort_array(col("ids"))
+    val combos = flatten(transform(
+      sequence(lit(0), size(sortedIds) - 2),
+      i => transform(
+        slice(sortedIds, i + 2, size(sortedIds)),
+        b => struct(element_at(sortedIds, i + 1).as("id_a"), b.as("id_b")))))
+    val pairs = sigs.groupBy(col("sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(combos).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val pairIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val vecs = corpus
+      .join(broadcast(pairIds), corpus(idCol) === pairIds("id"), "left_semi")
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.toDF("id_a", "v_a"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "v_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
