@@ -39,9 +39,15 @@ object SequencePack {
     val sorted = docs.select(col(idCol), col(nCol).cast("long").as("_n"))
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(idCol)
+    // ONE .rdd translation shared by both passes: each .rdd call would plan
+    // its own range exchange, and two independently-sampled partitioners
+    // could disagree on boundaries — pass 1's totals would then describe
+    // different partitions than pass 2 reads. Sharing the RDD pins one
+    // partitioner and lets the second job reuse the first's shuffle output.
+    val sortedRdd = sorted.rdd
 
     // pass 1: per-partition totals — one row per partition
-    val totals: Array[(Int, Long)] = sorted.rdd.mapPartitions { it =>
+    val totals: Array[(Int, Long)] = sortedRdd.mapPartitions { it =>
       var s = 0L
       it.foreach(r => s += r.getLong(1))
       Iterator((TaskContext.getPartitionId(), s))
@@ -54,7 +60,7 @@ object SequencePack {
     val prefixBc = spark.sparkContext.broadcast(prefix)
 
     // pass 2: partition-local running offsets starting at the broadcast base
-    val rows = sorted.rdd.mapPartitions { it =>
+    val rows = sortedRdd.mapPartitions { it =>
       var acc = prefixBc.value.getOrElse(TaskContext.getPartitionId(), 0L)
       it.map { r =>
         val off = acc
