@@ -79,6 +79,7 @@ object SparkEntry {
     "ddp_exact" -> (Q.ddpExact _),
     "ddp_jaccard_pairs" -> (Q.ddpJaccardPairs _),
     "ddp_minhash_lsh" -> (Q.ddpMinhashLsh _),
+    "ddp_components" -> (Q.ddpComponents _),
     "ddp_simhash" -> (Q.ddpSimhash _),
     "ddp_embed_cosine_dup" -> (Q.ddpEmbedCosineDup _),
     // similarity search
@@ -87,6 +88,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (Q.annIvfTopK _),
     "ann_quantize_int8" -> (Q.annQuantizeInt8 _),
     "pack_chunks" -> (Q.packChunks _),
+    "pipeline_curate" -> (Q.pipelineCurate _),
     // text analysis
     "txt_langid" -> (Q.txtLangId _),
     "txt_quality" -> (Q.txtQuality _),
@@ -220,13 +222,12 @@ object SparkEntry {
         |  WHEN es >= en AND es >= de THEN 'es'
         |  WHEN en >= de THEN 'en' ELSE 'de' END AS lang_guess FROM c""".stripMargin,
     "txt_quality" ->
-      """WITH b AS (SELECT doc_id, text, ' ' || text || ' ' AS t,
-        |  len(string_split(trim(text), ' ')) AS words FROM documents)
-        |SELECT doc_id, CAST(words AS INT) AS n_words,
-        |  ROUND(LEAST(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.4
-        |    + LEAST(CAST(len(regexp_extract_all(text,'[.,;:!?]')) AS DOUBLE)/CAST(GREATEST(words,1) AS DOUBLE), 1.0)*0.2
-        |    + LEAST(CAST(CAST((length(t)-length(replace(t,' the ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' and ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' of ','')))/4 AS INT)+CAST((length(t)-length(replace(t,' a ','')))/3 AS INT)+CAST((length(t)-length(replace(t,' to ','')))/4 AS INT) AS DOUBLE)*10.0/CAST(GREATEST(words,1) AS DOUBLE), 1.0)*0.4, 4) AS quality
-        |FROM b""".stripMargin,
+      s"""WITH b AS (SELECT doc_id, text, ' ' || text || ' ' AS t,
+         |  len(string_split(trim(text), ' ')) AS words FROM documents)
+         |SELECT doc_id, CAST(words AS INT) AS n_words,
+         |  ${ops.OracleSql.qualityExpr} AS quality
+         |FROM b""".stripMargin,
+    "pipeline_curate" -> ops.OracleSql.pipelineCurate(minQuality = 0.55, maxLen = 2048),
     "txt_tokens" ->
       "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpeish_tokens FROM documents",
     "txt_fingerprint" ->
@@ -261,6 +262,8 @@ object SparkEntry {
     // signatures), so DuckDB reproduces buckets and pairs exactly
     "ddp_simhash" -> ops.OracleSql.simhash(filter = "doc_id < 200"),
     "ddp_minhash_lsh" -> ops.OracleSql.minhashLsh(
+      bands = 4, rowsPerBand = 3, shingleN = 3, threshold = 0.6),
+    "ddp_components" -> ops.OracleSql.minhashComponents(
       bands = 4, rowsPerBand = 3, shingleN = 3, threshold = 0.6),
     "ddp_embed_cosine_dup" -> ops.OracleSql.embedCosineDup(planes = 4, threshold = 0.2),
     "ann_lsh_topk" -> ops.OracleSql.annLshTopK(planes = 6, k = 5, queryFilter = "id < 5"),

@@ -14,6 +14,32 @@ object OracleSql {
   private val P1 = 1000000007L
   private val P2 = 999999937L
 
+  /** Composite quality score over an alias exposing (text, t = ' '||text||' ',
+    * words) — shared verbatim by the txt_quality and pipeline_curate oracles;
+    * must stay byte-equivalent to TextOps.qualityScore. */
+  val qualityExpr: String =
+    """ROUND(LEAST(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.4
+      |    + LEAST(CAST(len(regexp_extract_all(text,'[.,;:!?]')) AS DOUBLE)/CAST(GREATEST(words,1) AS DOUBLE), 1.0)*0.2
+      |    + LEAST(CAST(CAST((length(t)-length(replace(t,' the ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' and ','')))/5 AS INT)+CAST((length(t)-length(replace(t,' of ','')))/4 AS INT)+CAST((length(t)-length(replace(t,' a ','')))/3 AS INT)+CAST((length(t)-length(replace(t,' to ','')))/4 AS INT) AS DOUBLE)*10.0/CAST(GREATEST(words,1) AS DOUBLE), 1.0)*0.4, 4)""".stripMargin
+
+  /** Oracle for pipeline_curate: quality gate → exact dedup (min id per
+    * text) → fixed-length chunk stats over the curated stream — the whole
+    * curation pipeline composed relationally. */
+  def pipelineCurate(minQuality: Double, maxLen: Long): String =
+    s"""WITH b AS (SELECT doc_id, text, ' ' || text || ' ' AS t,
+  len(string_split(trim(text), ' ')) AS words, n_chars FROM documents),
+ql AS (SELECT doc_id, n_chars, $qualityExpr AS quality FROM b),
+k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+cur AS (SELECT ql.doc_id, ql.n_chars FROM ql JOIN k USING (doc_id) WHERE ql.quality >= $minQuality),
+o AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n,
+  COALESCE(CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+  FROM cur),
+spans AS (SELECT doc_id, n, off, UNNEST(generate_series(off // $maxLen, (off + n - 1) // $maxLen)) AS chunk_id
+  FROM o WHERE n > 0)
+SELECT chunk_id, COUNT(*) AS n_docs,
+  CAST(SUM(LEAST(off + n, (chunk_id + 1) * $maxLen) - GREATEST(off, chunk_id * $maxLen)) AS BIGINT) AS n_tokens
+FROM spans GROUP BY 1"""
+
   /** DuckDB poly-hash of a string expression `s` (mirrors TextOps.polyHash;
     * list_prepend(0) reproduces Spark's explicit zero init on empty input). */
   private def polyHash(s: String, base: Long, mod: Long): String =
@@ -87,6 +113,22 @@ SELECT id_a, id_b, jaccard FROM (
   FROM pairs JOIN hp a ON a.id = pairs.id_a JOIN hp b ON b.id = pairs.id_b)
 WHERE jaccard >= $threshold"""
   }
+
+  /** Oracle for ddp_components: connected components of the MinHash-LSH pair
+    * relation via a recursive transitive closure (component = min reachable
+    * id — exactly what min-label propagation converges to). */
+  def minhashComponents(bands: Int, rowsPerBand: Int, shingleN: Int, threshold: Double): String =
+    s"""WITH RECURSIVE mh AS (
+${minhashLsh(bands, rowsPerBand, shingleN, threshold)}
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM mh UNION SELECT id_b, id_a FROM mh),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id, MIN(r) AS comp FROM reach GROUP BY id"""
 
   /** DuckDB expression for the integer-quantized `planes`-bit hyperplane
     * signature of list column `vq` (mirrors AnnOps.lshSignature). */

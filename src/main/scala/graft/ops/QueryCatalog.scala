@@ -428,6 +428,14 @@ object QueryCatalog {
     DedupOps.minhashLshPairs(tbl(s, dir, "documents"), bands = 4, rowsPerBand = 3,
       shingleN = 3, verifyThreshold = 0.6)
 
+  /** Duplicate clusters: the transitive closure of the MinHash-LSH pair
+    * relation (same parameters as ddp_minhash_lsh) via distributed min-label
+    * propagation; oracled against a DuckDB recursive closure. */
+  def ddpComponents(s: SparkSession, dir: String): DataFrame =
+    DedupOps.connectedComponents(
+      DedupOps.minhashLshPairs(tbl(s, dir, "documents"), bands = 4, rowsPerBand = 3,
+        shingleN = 3, verifyThreshold = 0.6))
+
   def ddpSimhash(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents").filter(col("doc_id") < 200)
       .select(col("doc_id"), DedupOps.simHash(col("text")).as("simhash"))
@@ -477,6 +485,21 @@ object QueryCatalog {
   def packChunks(s: SparkSession, dir: String): DataFrame =
     graft.text.SequencePack.chunkStats(
       tbl(s, dir, "documents"), maxLen = 4096, idCol = "doc_id", nCol = "n_chars")
+
+  /** The curation pipeline end-to-end: quality gate → exact dedup (keep the
+    * min-id copy) → fixed-length training-chunk stats — each stage one of
+    * the library's operators, composed as lazy DataFrame algebra so Catalyst
+    * optimizes across stage boundaries (the dedup semi-join and the quality
+    * filter both land in the same scan stage). */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("n_chars"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val keep = DedupOps.exactDedup(docs).select(col("doc_id"))
+    val curated = scored.join(keep, Seq("doc_id"), "left_semi")
+      .filter(col("quality") >= 0.55)
+    graft.text.SequencePack.chunkStats(curated, maxLen = 2048, nCol = "n_chars")
+  }
 
   // ===================================== training-data ops: text analysis
 

@@ -154,4 +154,47 @@ object DedupOps {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Connected components over near-duplicate pairs — dedup needs GROUPS, not
+   * pairs: "keep one doc per duplicate cluster" requires the transitive
+   * closure of the pair relation. Iterative min-label propagation: every
+   * round each node takes the minimum label among itself and its neighbors;
+   * labels only decrease and travel one hop per round, so it converges in
+   * O(component diameter) rounds — near-dup clusters are shallow. Each round
+   * is one join + one aggregation, `localCheckpoint`ed so the plan and
+   * lineage do not grow with the iteration count (the standard Spark
+   * iterative-graph discipline; large-star/small-star halves round counts on
+   * adversarial graphs but duplicate clusters do not need it).
+   * Returns (id, component) for every id that appears in a pair, component =
+   * min id of the cluster.
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("comp"))
+      val updated = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("comp", "_old"), Seq("id"))
+        .filter(col("comp") =!= col("_old")).count()
+      labels = updated
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

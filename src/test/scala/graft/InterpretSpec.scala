@@ -92,6 +92,17 @@ class InterpretSpec extends SparkSpec {
     intercept[IllegalArgumentException] { JmesPath.parse("a[1") }
   }
 
+  // --------------------------------------------------- connected components
+
+  test("connectedComponents: min-label propagation over chains, triangles, singles") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 10L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comps = graft.text.DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   // ------------------------------------------------- schema auto-detection
 
   test("schema diff detects drops, renames (by field-id), and adds") {
