@@ -156,13 +156,6 @@ object Bench {
   private def cpuCeiling(cores: Int): Option[Double] =
     firstOf(pinnedRun(cores, Seq("cpu", cores.toString)), "THR")
 
-  /** Memory-streaming throughput of `cores` pinned threads (64 MB strided
-    * array sweeps). Shuffle-heavy maintenance is bandwidth-bound; on this
-    * single-socket box all cores share one memory system, whereas N vs 4N
-    * real executors bring proportional memory channels — so this ceiling is
-    * the binding one for the measured workload and a single-box artifact. */
-  private def memCeiling(cores: Int): Option[Double] =
-    firstOf(pinnedRun(cores, Seq("mem", cores.toString)), "THR")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -173,11 +166,14 @@ object Bench {
     val nBig = nSmall * 4
 
     // North metric: same input, two pinned "cluster sizes", alternating
-    // back-to-back trial PAIRS (N then 4N in adjacent windows). The shared
-    // VM is bimodal — multi-minute noisy-neighbor episodes degrade
-    // throughput up to ~2x — so no cross-window comparison is meaningful.
-    // Each child therefore measures its own memory-bandwidth ceiling at its
-    // core count, in its own window, around the timed run. Per pair:
+    // trial PAIRS (rep k of an N child pairs with rep k of the 4N child
+    // that follows it — the same few-minute neighborhood, though a child's
+    // remaining reps plus its sibling's JVM startup sit between the two).
+    // The shared VM is bimodal — multi-minute noisy-neighbor episodes
+    // degrade throughput up to ~2x — so no distant-window comparison is
+    // meaningful, and each run's OWN probe is the window evidence: every
+    // child measures its memory-bandwidth ceiling at its core count, in its
+    // own window, around each timed run. Per pair:
     //   raw_i        = (thr4N_i / thrN_i) / 4
     //   normalized_i = (thr4N_i / bw4N_i) / (thrN_i / bwN_i)
     // normalized_i asks: of the extra memory bandwidth the 4N "cluster"
@@ -251,7 +247,7 @@ object Bench {
     // Full evidence goes to a sidecar file; stdout gets ONE SHORT line (the
     // driver tails the log — round 1's 2.5 KB line was truncated → unparseable).
     val detail =
-      s"""{"metric":"maintenance throughput (sequences/sec compacted+Z-ordered)","value":${f(thrBig)},"unit":"seq/sec","sf":"$sfDir","queries":$qs,"total_query_sec":${f(total)},$scaling,"pairs":$pairsJson,"efficiency_note":"each trial pair runs N and 4N back-to-back, each child measuring its own memory-bandwidth probe at its core count around the timed run; efficiency = best pair's bandwidth-normalized ratio (thr_4n/bw_4n)/(thr_n/bw_n), capped at 1 — the fraction of the extra bandwidth the 4N cluster actually had that the engine converted to throughput (a real cluster brings proportional memory channels per executor; this single box does not: bw_4n/bw_4 ~ 2.3x, a host artifact). efficiency_raw = best pair's raw (thr_4n/thr_n)/4. All pairs embedded."}"""
+      s"""{"metric":"maintenance throughput (sequences/sec compacted+Z-ordered)","value":${f(thrBig)},"unit":"seq/sec","sf":"$sfDir","queries":$qs,"total_query_sec":${f(total)},$scaling,"pairs":$pairsJson,"efficiency_note":"pairs couple rep k of an N child with rep k of the following 4N child (same few-minute neighborhood; each run carries its OWN in-window bandwidth probe at its core count, so the normalization never assumes shared windows); efficiency = best pair's bandwidth-normalized ratio (thr_4n/bw_4n)/(thr_n/bw_n), capped at 1 — the fraction of the extra bandwidth the 4N cluster actually had that the engine converted to throughput (a real cluster brings proportional memory channels per executor; this single box does not: bw_4n/bw_4 ~ 2.3x, a host artifact). efficiency_raw = best pair's raw (thr_4n/thr_n)/4. All pairs embedded."}"""
     for (root <- Seq(".", "/root/repo") if new java.io.File(root).isDirectory) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$root/BENCH_DETAIL.json"), detail)
@@ -335,6 +331,8 @@ object BenchChild {
       stop.set(true); threads.foreach(_.join())
       println(s"THR $rate")
     case "mem" =>
+      // manual probe mode (not invoked by Bench.main — the live bandwidth
+      // probes ride inside each maint child as PROBE lines)
       println(s"THR ${memSweep(args(1).toInt, warmMs = 1000, measureMs = 4000)}")
     case other => sys.error(s"unknown BenchChild mode $other")
   }

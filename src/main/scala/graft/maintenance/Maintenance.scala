@@ -457,11 +457,14 @@ object Maintenance {
 
   /** Longest literal prefix every match of `pattern` must start with, when
     * the pattern is start-anchored and opens with literal characters; None
-    * when no prefix can be proven (unanchored, or a leading metacharacter).
-    * A quantifier directly after the literal run makes its last character
-    * optional, so that character is excluded. */
+    * when no prefix can be proven (unanchored, a leading metacharacter, or a
+    * TOP-LEVEL alternation — `^doc1|doc9` matches "doc9" anywhere, so the
+    * anchor does not constrain the second branch and pruning on "doc1"
+    * would silently skip its matches). A quantifier directly after the
+    * literal run makes its last character optional, so it is excluded. */
   private[graft] def literalPrefix(pattern: String): Option[String] = {
     if (!pattern.startsWith("^")) return None
+    if (hasTopLevelAlternation(pattern)) return None
     val meta = ".^$*+?()[]{}|\\"
     val sb = new StringBuilder
     var i = 1
@@ -471,6 +474,27 @@ object Maintenance {
     if (i < pattern.length && "*?{".indexOf(pattern.charAt(i)) >= 0 && sb.nonEmpty)
       sb.setLength(sb.length - 1)
     if (sb.isEmpty) None else Some(sb.toString)
+  }
+
+  /** '|' at nesting depth 0 (outside groups/classes, unescaped) — the anchor
+    * then applies to only the first branch. */
+  private def hasTopLevelAlternation(pattern: String): Boolean = {
+    var depth = 0
+    var inClass = false
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\'             => i += 1 // skip escaped char
+        case '[' if !inClass  => inClass = true
+        case ']' if inClass   => inClass = false
+        case '(' if !inClass  => depth += 1
+        case ')' if !inClass  => depth -= 1
+        case '|' if !inClass && depth == 0 => return true
+        case _                => ()
+      }
+      i += 1
+    }
+    false
   }
 
   /** Smallest string strictly greater than every string with prefix `p`

@@ -47,7 +47,8 @@ object Interpret {
     * `failOnRagged = false` for arrays_zip's null-padding. */
   def findManyZip(keys: Column, values: Column, failOnRagged: Boolean = true): Column =
     if (!failOnRagged) arrays_zip(keys, values)
-    else when(size(keys) === size(values), arrays_zip(keys, values))
+    else when(keys.isNull || values.isNull, lit(null)) // absent is not ragged
+      .when(size(keys) === size(values), arrays_zip(keys, values))
       .otherwise(raise_error(format_string(
         "InvalidKeyLengthError: find_many arrays have lengths %d and %d",
         size(keys), size(values))))

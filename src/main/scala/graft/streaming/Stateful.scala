@@ -63,18 +63,27 @@ object Stateful {
             state.remove()
             Iterator.single(done)
           } else {
-            val sorted = evs.map(_.ts.getTime).toArray.sorted
+            // Merge the stored session (as an interval) with the batch's
+            // events in start order — valid late events that precede the
+            // stored session form/extend EARLIER sessions instead of being
+            // absorbed into the wrong start. All but the last session close
+            // now (their extensions would be behind them in event time);
+            // the last stays open in state.
+            val items: Array[(Long, Long, Long)] =
+              (evs.map(e => (e.ts.getTime, e.ts.getTime, 1L)).toArray ++
+                state.getOption.map(s => (s.startMs, s.endMs, s.nEvents)))
+                .sortBy(x => (x._1, x._2))
             var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { t =>
+            var cur: Option[SessionState] = None
+            items.foreach { case (st, en, n) =>
               cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(s.copy(endMs = math.max(s.endMs, t), nEvents = s.nEvents + 1))
+                case Some(s) if st <= s.endMs + gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.endMs, en), s.nEvents + n))
                 case Some(s) =>
                   closed ::= toSession(user, s)
-                  cur = Some(SessionState(t, t, 1))
+                  cur = Some(SessionState(st, en, n))
                 case None =>
-                  cur = Some(SessionState(t, t, 1))
+                  cur = Some(SessionState(st, en, n))
               }
             }
             cur.foreach { s =>

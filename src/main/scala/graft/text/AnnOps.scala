@@ -212,10 +212,14 @@ object AnnOps {
     transform(q, x => x.cast("double") * scale)
 
   /** Cosine near-duplicate pairs via LSH blocking + exact verify. Candidate
-    * pairs come from a groupBy-bucket + in-bucket expansion over (id, sig)
-    * only — a self-join would both compute the signatures twice and carry
-    * the full vectors through the bucket shuffle; the exact-cosine verify
-    * re-joins vectors for just the matched ids behind a broadcast semi-join. */
+    * pairs come from a SLIM (id, sig) self-join: the signature space has
+    * only 2^planes values, so a groupBy-bucket + collect_list expansion (the
+    * MinHash shape, where band keys are high-cardinality) would materialize
+    * a whole bucket's O(n²) pairs inside one row — unbounded memory. The
+    * streamed sig-equality join emits the same pairs row by row carrying 16
+    * bytes a side; the exact-cosine verify then re-joins vectors for just
+    * the matched ids behind a broadcast semi-join, so full vectors never
+    * ride the bucket shuffle. */
   def cosineNearDupPairs(
       corpus: DataFrame,
       threshold: Double,
@@ -223,17 +227,10 @@ object AnnOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val sigs = corpus.select(col(idCol).as("id"), lshSignature(col(vecCol), planes).as("sig"))
-    val sortedIds = sort_array(col("ids"))
-    val combos = flatten(transform(
-      sequence(lit(0), size(sortedIds) - 2),
-      i => transform(
-        slice(sortedIds, i + 2, size(sortedIds)),
-        b => struct(element_at(sortedIds, i + 1).as("id_a"), b.as("id_b")))))
-    val pairs = sigs.groupBy(col("sig"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(combos).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val pairs = sigs.toDF("id_a", "sig")
+      .join(sigs.toDF("id_b", "sig"), Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
     val pairIds = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val vecs = corpus

@@ -120,6 +120,9 @@ object DedupOps {
       .filter(size(col("ids")) > 1)
       .select(explode(pairCombos).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // sorted combos give a <= b; strictness guards a duplicated id ever
+      // producing a self-pair
+      .filter(col("id_a") < col("id_b"))
       .distinct()
     // Exact-Jaccard verify over ONLY the matched docs: the broadcast
     // semi-join filters rows before the shingle recompute, so the verify

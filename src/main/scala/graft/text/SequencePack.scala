@@ -36,7 +36,8 @@ object SequencePack {
     val spark = docs.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = docs.select(col(idCol), col(nCol).cast("long").as("_n"))
+    // null counts read as 0 (an absent length must not NPE a task)
+    val sorted = docs.select(col(idCol), coalesce(col(nCol).cast("long"), lit(0L)).as("_n"))
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(idCol)
     // ONE .rdd translation shared by both passes: each .rdd call would plan

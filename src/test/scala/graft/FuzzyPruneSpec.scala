@@ -20,6 +20,13 @@ class FuzzyPruneSpec extends SparkSpec {
     assert(Maintenance.literalPrefix("^abcx?") == Some("abc"))
     assert(Maintenance.literalPrefix("doc00042") == None) // unanchored
     assert(Maintenance.literalPrefix("^.*doc") == None)
+    // top-level alternation: the anchor binds only the first branch — the
+    // second matches anywhere, so NO prefix may be claimed (silent-data-loss
+    // guard); nested alternation after the prefix is safe
+    assert(Maintenance.literalPrefix("^doc1|doc9") == None)
+    assert(Maintenance.literalPrefix("^doc(1|9)") == Some("doc"))
+    assert(Maintenance.literalPrefix("^doc[|]x") == Some("doc"))
+    assert(Maintenance.literalPrefix("^doc\\|x") == Some("doc"))
     assert(Maintenance.prefixSuccessor("abc") == Some("abd"))
     assert(Maintenance.prefixSuccessor("ab" + Char.MaxValue) == Some("ac"))
     assert(Maintenance.prefixSuccessor(s"${Char.MaxValue}") == None)

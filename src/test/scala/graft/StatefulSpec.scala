@@ -38,6 +38,35 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a valid late event before the stored session is not absorbed") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Stateful.Event]
+    // generous watermark delay keeps early events valid across batches
+    val sessions = Stateful.sessionize(input.toDS(), gapMs = 60000, watermarkDelay = "1 hour")
+    val name = "sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(ev(3, 300))
+      q.processAllAvailable()
+      // late but valid: 100s is beyond the gap BEFORE [300,300] — it must
+      // close as its own earlier session, never extend [300,300]'s start
+      input.addData(ev(3, 100))
+      q.processAllAvailable()
+      // and an in-gap late event (260s) must merge with [300,300]
+      input.addData(ev(3, 260))
+      q.processAllAvailable()
+      val out = spark.table(name).as[Stateful.Session].collect()
+        .map(s => (s.user_id, s.start.getTime / 1000, s.end.getTime / 1000, s.n_events)).toSet
+      assert(out == Set((3L, 100L, 100L, 1L)))
+      input.addData(ev(3, 500)) // past gap of [260,300]: closes it
+      q.processAllAvailable()
+      val out2 = spark.table(name).as[Stateful.Session].collect()
+        .map(s => (s.user_id, s.start.getTime / 1000, s.end.getTime / 1000, s.n_events)).toSet
+      assert(out2 == Set((3L, 100L, 100L, 1L), (3L, 260L, 300L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionize merges in-gap events across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Stateful.Event]
