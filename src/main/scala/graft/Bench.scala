@@ -200,8 +200,14 @@ object Bench {
         if (bwN > 0 && bw4N > 0) (thr4N / bw4N) / (thrN / bwN) else raw
     }
     val pairs = trialPairs.map { case ((tn, pn), (tb, pb)) => Pair(tn, pn, tb, pb) }
-    val best = pairs.maxBy(_.normalized)
-    val effRaw = pairs.map(_.raw).max
+    // Plausibility filter: an engine cannot scale beyond linear (raw > 1) or
+    // beyond the hardware's own bandwidth scaling (normalized >> 1) — such a
+    // pair proves its SMALL run hit a degradation its probe did not see, and
+    // must not be allowed to inflate the headline. The best remaining pair
+    // (cleanest windows) carries both headline numbers.
+    val plausible = pairs.filter(p => p.normalized <= 1.1 && p.raw <= 1.0)
+    val best = (if (plausible.nonEmpty) plausible else pairs).maxBy(_.normalized)
+    val effRaw = best.raw
     val normalized = math.min(best.normalized, 1.0)
     val thrSmall = smalls.map(_._1).max
     val thrBig = bigs.map(_._1).max
@@ -247,7 +253,7 @@ object Bench {
     // Full evidence goes to a sidecar file; stdout gets ONE SHORT line (the
     // driver tails the log — round 1's 2.5 KB line was truncated → unparseable).
     val detail =
-      s"""{"metric":"maintenance throughput (sequences/sec compacted+Z-ordered)","value":${f(thrBig)},"unit":"seq/sec","sf":"$sfDir","queries":$qs,"total_query_sec":${f(total)},$scaling,"pairs":$pairsJson,"efficiency_note":"pairs couple rep k of an N child with rep k of the following 4N child (same few-minute neighborhood; each run carries its OWN in-window bandwidth probe at its core count, so the normalization never assumes shared windows); efficiency = best pair's bandwidth-normalized ratio (thr_4n/bw_4n)/(thr_n/bw_n), capped at 1 — the fraction of the extra bandwidth the 4N cluster actually had that the engine converted to throughput (a real cluster brings proportional memory channels per executor; this single box does not: bw_4n/bw_4 ~ 2.3x, a host artifact). efficiency_raw = best pair's raw (thr_4n/thr_n)/4. All pairs embedded."}"""
+      s"""{"metric":"maintenance throughput (sequences/sec compacted+Z-ordered)","value":${f(thrBig)},"unit":"seq/sec","sf":"$sfDir","queries":$qs,"total_query_sec":${f(total)},$scaling,"pairs":$pairsJson,"efficiency_note":"pairs couple rep k of an N child with rep k of the following 4N child (same few-minute neighborhood; each run carries its OWN in-window bandwidth probe at its core count, so the normalization never assumes shared windows); pairs with raw > 1 or normalized > 1.1 are discarded as physically impossible (a degraded small-cluster run, not engine scaling); efficiency = best remaining pair's bandwidth-normalized ratio (thr_4n/bw_4n)/(thr_n/bw_n), capped at 1 — the fraction of the extra bandwidth the 4N cluster actually had that the engine converted to throughput (a real cluster brings proportional memory channels per executor; this single box does not: bw_4n/bw_n ~ 2.3x/4, a host artifact). efficiency_raw = the SAME pair's raw (thr_4n/thr_n)/4. All pairs embedded."}"""
     for (root <- Seq(".", "/root/repo") if new java.io.File(root).isDirectory) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$root/BENCH_DETAIL.json"), detail)
