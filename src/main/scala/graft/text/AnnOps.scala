@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
  * scale path buckets vectors with deterministic random-hyperplane LSH so the
  * per-query candidate set is a tiny fraction of the corpus (at 10^12 rows the
  * brute force is a full scan per query; the LSH variant prunes to one bucket
- * chain). All math is `functions._` column algebra — codegen'd, no UDFs.
+ * chain). All math is `functions._` column algebra — no UDFs, though note
+ * the higher-order-function lambdas (`aggregate`/`zip_with`/`transform`)
+ * are interpreted by Catalyst, not whole-stage-codegen'd: fine here because
+ * the dot products run over already-pruned candidate sets, not the corpus.
  */
 object AnnOps {
 
@@ -218,8 +221,10 @@ object AnnOps {
     * a whole bucket's O(n²) pairs inside one row — unbounded memory. The
     * streamed sig-equality join emits the same pairs row by row carrying 16
     * bytes a side; the exact-cosine verify then re-joins vectors for just
-    * the matched ids behind a broadcast semi-join, so full vectors never
-    * ride the bucket shuffle. */
+    * the matched ids behind a semi-join, so full vectors never ride the
+    * bucket shuffle. The semi-join carries NO broadcast hint: the matched-id
+    * set is unbounded on duplicate-heavy corpora (the target workload), so
+    * AQE decides — it broadcasts when the set actually fits. */
   def cosineNearDupPairs(
       corpus: DataFrame,
       threshold: Double,
@@ -234,7 +239,7 @@ object AnnOps {
     val pairIds = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val vecs = corpus
-      .join(broadcast(pairIds), corpus(idCol) === pairIds("id"), "left_semi")
+      .join(pairIds, corpus(idCol) === pairIds("id"), "left_semi")
       .select(col(idCol).as("id"), col(vecCol).as("v"))
     pairs
       .join(vecs.toDF("id_a", "v_a"), Seq("id_a"))

@@ -38,6 +38,31 @@ object DedupOps {
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
+  /** (h1, h2) double-hash pairs of the word n-gram shingles, via word-level
+    * polynomial composition: each word's characters are hashed once
+    * ([[TextOps.polyHash2Pow]]), then each shingle hash is assembled from
+    * the window's word states with the concatenation identity
+    * ([[TextOps.polyConcat2]]) — O(chars + shingles) interpreted-HOF steps
+    * instead of O(n · chars), with values BIT-IDENTICAL to hashing each
+    * shingle string directly (same polynomial), so hash-consuming oracles
+    * are unaffected. Windows are not deduplicated: downstream `array_min`
+    * (MinHash) is multiplicity-blind, and skipping the dedup also skips
+    * materializing every shingle as a string. */
+  def shingleHashPairs(textCol: org.apache.spark.sql.Column, n: Int) = {
+    val words = split(lower(trim(textCol)), "\\s+")
+    val states = transform(words, w => TextOps.polyHash2Pow(w))
+    transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => {
+        val window = slice(states, i + 1, lit(n))
+        val first = element_at(window, 1)
+        aggregate(
+          slice(window, lit(2), lit(n - 1)),
+          struct(first.getField("h1").as("h1"), first.getField("h2").as("h2")),
+          (acc, w) => TextOps.polyConcat2(acc, w))
+      })
+  }
+
   /**
    * Pairwise n-gram Jaccard similarity over candidate pairs sharing a join
    * key (e.g. same language+source). Self-join stays bounded because the
@@ -80,7 +105,11 @@ object DedupOps {
    * true Jaccard on just those pairs. Scale shape: the band join carries
    * ONLY (id, band, key) — never the shingle arrays (a bands× array blowup
    * through the shuffle at 10^12 docs); matched pairs re-join a slim
-   * (id, shingles) projection for the verify.
+   * (id, shingles) projection for the verify. Buckets larger than
+   * `maxBucket` (duplicate-heavy corpora: 10^6 copies of one boilerplate
+   * template share every band) are routed through a streamed equi-join
+   * instead of the in-row pair expansion, so no task ever materializes a
+   * bucket's O(n²) pairs in one row.
    */
   def minhashLshPairs(
       docs: DataFrame,
@@ -89,12 +118,12 @@ object DedupOps {
       shingleN: Int = 3,
       verifyThreshold: Double = 0.7,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBucket: Int = 64): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), transform(col("sh"), TextOps.polyHash2 _).as("hp"))
+      .select(col(idCol).as("id"), shingleHashPairs(col(textCol), shingleN).as("hp"))
+      .filter(size(col("hp")) > 0)
       .select(col("id") +: minHashes(col("hp"), k): _*)
     val banded = sigs.select(
       col("id"),
@@ -103,18 +132,23 @@ object DedupOps {
           array((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*).as("key"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.key").as("key"))
-    // Candidates via groupBy-bucket + in-bucket pair expansion, NOT a
-    // self-join: a self-join would execute the whole shingle/minhash
-    // pipeline once per side. One aggregation computes every bucket, and
-    // the a<b pairs come from the sorted member list (quadratic only inside
-    // a bucket — the LSH invariant that buckets stay small).
+    // Bucket-size annotation: one count-window over the (band, key) shuffle.
+    // The groupBy below reuses the same hash partitioning — no extra
+    // exchange for the split.
+    val sized = banded.withColumn("_n",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+    // Small buckets (the LSH common case — high-cardinality band keys):
+    // groupBy-bucket + in-row pair expansion, NOT a self-join; a self-join
+    // would execute the whole minhash pipeline once per side. Quadratic
+    // work only inside a ≤ maxBucket bucket, so a row holds at most
+    // maxBucket²/2 pair structs.
     val sortedIds = sort_array(col("ids"))
     val pairCombos = flatten(transform(
       sequence(lit(0), size(sortedIds) - 2),
       i => transform(
         slice(sortedIds, i + 2, size(sortedIds)),
         b => struct(element_at(sortedIds, i + 1).as("id_a"), b.as("id_b")))))
-    val pairs = banded
+    val smallPairs = sized.filter(col("_n") <= maxBucket)
       .groupBy(col("band"), col("key"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -123,14 +157,28 @@ object DedupOps {
       // sorted combos give a <= b; strictness guards a duplicated id ever
       // producing a self-pair
       .filter(col("id_a") < col("id_b"))
-      .distinct()
-    // Exact-Jaccard verify over ONLY the matched docs: the broadcast
-    // semi-join filters rows before the shingle recompute, so the verify
-    // pass costs O(|matched docs|), not O(|corpus|).
+    // Oversized buckets: the SAME pair set, streamed row-by-row through a
+    // slim (band, key) equi-join — each output row carries two ids, never a
+    // whole bucket, so memory stays bounded however duplicate-heavy the
+    // corpus. (The pair COUNT is still quadratic in the cluster size — that
+    // is the contract of emitting pairs; pipelines that expect giant
+    // duplicate clusters should run exactDedup first, as pipelineCurate
+    // does.)
+    val large = sized.filter(col("_n") > maxBucket).drop("_n")
+    val largePairs = large.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(large.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val pairs = smallPairs.union(largePairs).distinct()
+    // Exact-Jaccard verify over ONLY the matched docs: the semi-join
+    // filters rows before the shingle recompute, so the verify pass costs
+    // O(|matched docs|), not O(|corpus|). No broadcast hint — the matched-id
+    // set is unbounded on duplicate-heavy corpora; AQE broadcasts it when
+    // (and only when) it actually fits.
     val pairIds = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val vsh = docs
-      .join(broadcast(pairIds), docs(idCol) === pairIds("id"), "left_semi")
+      .join(pairIds, docs(idCol) === pairIds("id"), "left_semi")
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     pairs
       .join(vsh.toDF("id_a", "a_sh"), Seq("id_a"))

@@ -79,10 +79,14 @@ object SequencePack {
    * Per-document chunk contributions for fixed-length chunks of `maxLen`
    * tokens over the packed stream: a doc at offset o with n tokens spans
    * chunks floor(o/L)..floor((o+n-1)/L), contributing
-   * `min(o+n, (c+1)L) - max(o, cL)` tokens to chunk c. Offsets stay below
-   * 2^53, so the floor-of-double division is exact.
+   * `min(o+n, (c+1)L) - max(o, cL)` tokens to chunk c. Chunk ids use true
+   * 64-bit integral division (`div`), NOT float division — `floor(o / L)`
+   * computes in double and silently mis-assigns boundaries once offsets
+   * cross 2^53 (a trillion-doc corpus at ~10k tokens/doc does). Offsets are
+   * non-negative prefix sums, so truncating and flooring division agree.
    */
   def chunkContributions(withOffsets: DataFrame, maxLen: Long): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
     val o = col("tok_offset")
     val n = col("n_tok")
     val c = col("chunk_id")
@@ -90,8 +94,8 @@ object SequencePack {
       .filter(n > 0)
       .select(withOffsets.columns.map(col) :+
         explode(sequence(
-          floor(o / maxLen).cast("long"),
-          floor((o + n - 1) / maxLen).cast("long"))).as("chunk_id"): _*)
+          expr(s"tok_offset div ${maxLen}L"),
+          expr(s"(tok_offset + n_tok - 1) div ${maxLen}L"))).as("chunk_id"): _*)
       .withColumn("tokens_in_chunk",
         least(o + n, (c + 1) * maxLen) - greatest(o, c * maxLen))
   }

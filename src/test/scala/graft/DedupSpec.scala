@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{DedupOps, TextOps}
+
+/** Deduplication operators: the word-level polynomial hash composition must
+  * be bit-identical to hashing shingle strings directly (the oracle hashes
+  * strings), and the hot-bucket split must emit exactly the same pair set as
+  * the in-row expansion while never materializing an oversized bucket. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "a completely different document about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, ""),
+    (6L, "one"),
+    (7L, "two words"),
+    (8L, "Thé qüick bröwn fox"), // non-ASCII chars hash via codepoints
+    (9L, "a completely different document about spark engines !")
+  ).toDF("doc_id", "text")
+
+  test("shingleHashPairs == polyHash2 over shingle strings (composition identity)") {
+    for (n <- Seq(1, 2, 3, 4)) {
+      val viaStrings = corpus.select(
+        col("doc_id"),
+        transform(
+          // same windows as shingleHashPairs: NOT deduped
+          transform(
+            sequence(
+              lit(0),
+              greatest(size(split(lower(trim(col("text"))), "\\s+")) - n, lit(0))),
+            i => concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), i + 1, lit(n)))),
+          TextOps.polyHash2 _).as("hp"))
+      val viaWords = corpus.select(
+        col("doc_id"), DedupOps.shingleHashPairs(col("text"), n).as("hp"))
+      val diff = viaStrings.join(viaWords.withColumnRenamed("hp", "hp2"), Seq("doc_id"))
+        .filter(col("hp") =!= col("hp2"))
+      assert(diff.isEmpty, s"n=$n: word-composed hashes diverge from string hashes")
+    }
+  }
+
+  test("minhashLshPairs: oversized-bucket join path emits the same pairs") {
+    // maxBucket = 1 forces EVERY bucket through the streamed join path;
+    // a huge maxBucket keeps everything on the in-row expansion path
+    def run(maxBucket: Int) =
+      DedupOps.minhashLshPairs(corpus, bands = 4, rowsPerBand = 3, shingleN = 3,
+        verifyThreshold = 0.5, maxBucket = maxBucket)
+        .as[(Long, Long, Double)].collect().toSet
+    val viaJoin = run(1)
+    val viaExpansion = run(1000000)
+    assert(viaJoin.nonEmpty, "test corpus must produce near-dup pairs")
+    assert(viaJoin == viaExpansion)
+    // the exact duplicates must be found
+    assert(viaJoin.exists { case (a, b, j) => a == 1L && b == 4L && j == 1.0 })
+  }
+
+  test("minhashLshPairs: duplicate-heavy corpus completes with bounded buckets") {
+    // 2000 identical docs share every band: the old in-row expansion built
+    // one 2000²/2-struct row per band; the split routes them through the
+    // streamed join. Verify completion and the pair count of the clique.
+    val dups = spark.range(2000).select(
+      col("id").as("doc_id"),
+      lit("same boilerplate template text repeated everywhere").as("text"))
+    val pairs = DedupOps.minhashLshPairs(dups, bands = 2, rowsPerBand = 2,
+      shingleN = 3, verifyThreshold = 0.9, maxBucket = 64)
+    assert(pairs.count() == 2000L * 1999 / 2)
+  }
+}
