@@ -23,6 +23,7 @@ object SparkEntry {
     "src_csv" -> (Q.srcCsv _),
     "src_jsonl" -> (Q.srcJsonl _),
     "src_yaml" -> (Q.srcYaml _),
+    "src_txt" -> (Q.srcTxt _),
     "src_api" -> (Q.srcApi _),
     // §2.2 filters
     "flt_values_match" -> (Q.fltValuesMatch _),
@@ -127,6 +128,8 @@ object SparkEntry {
       "SELECT doc_id, n_chars, lang, source FROM documents",
     "src_yaml" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id < 50",
+    "src_txt" ->
+      "SELECT CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source AS line FROM documents",
     "tfm_jsonpath" ->
       """WITH d AS (SELECT doc_id, to_json({'meta': {'lang': lang, 'words': string_split(text, ' ')}}) AS j
         |  FROM documents WHERE doc_id < 100)

@@ -59,6 +59,18 @@ object QueryCatalog {
       schema = Some(docMetaSchema)).select(cols: _*)
   }
 
+  /** FileExtractor TXT codec round-trip (files.py:344-352): one record per
+    * line, single column `line` — a pipe-joined projection of the documents
+    * metadata is written as plain text and read back through the codec
+    * registry. */
+  def srcTxt(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src-txt").toString
+    tbl(s, dir, "documents")
+      .select(concat(col("doc_id"), lit("|"), col("lang"), lit("|"), col("source")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    graft.sources.FileSource.read(s, s"$tmp/*.txt")
+  }
+
   /** FileExtractor YAML codec (files.py:365-374): whole-file YAML documents
     * parsed inside tasks, schema-aligned with the other codecs. */
   def srcYaml(s: SparkSession, dir: String): DataFrame = {

@@ -29,4 +29,9 @@ class GraftFunctionsSpec extends SparkSpec {
       GraftFunctions.zorder_key(bits, col("x"), col("y")).as("z")).collect()
     viaCol.zip(viaSql).foreach { case (a, b) => assert(a.getLong(0) == b.getLong(2)) }
   }
+
+  test("LoggerWriter counts every row while capping per-partition log volume") {
+    val df = spark.range(1000).repartition(4).toDF("id")
+    assert(graft.ops.LoggerWriter.write(df, maxPerPartition = 5) == 1000L)
+  }
 }

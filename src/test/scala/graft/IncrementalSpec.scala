@@ -78,4 +78,30 @@ class IncrementalSpec extends SparkSpec {
     assert(out.filter($"doc_id" === "doc000000000001").select("n_tok").head().getInt(0) == 2)
     assert(out.filter($"doc_id" === "brand-new").count() == 1)
   }
+
+  test("StreamConnector: poll == Flush micro-batch, rate limit buffers, empty polls end the drain") {
+    import spark.implicits._
+    import graft.streaming.{IterableStreamConnector, StreamConnector}
+    val root = tmpDir("conn-stream")
+    val t = TokenTable.create(spark, s"$root/tbl")
+    val ckpt = tmpDir("conn-ckpt")
+    val polls: Iterator[Seq[(String, Seq[Int], Int, String)]] = Iterator(
+      Seq(("c1", Seq(1, 2), 2, "web"), ("c2", Seq(3), 1, "code"),
+        ("c3", Seq(4), 1, "web")), // 3 records but maxRecords = 2: c3 buffers
+      Seq.empty, // transient empty poll: a Flush, NOT termination
+      Seq(("c4", Seq(5, 5), 2, "code")))
+    val n = StreamConnector.drain[(String, Seq[Int], Int, String)](
+      spark,
+      new IterableStreamConnector[(String, Seq[Int], Int, String)](polls),
+      ds => Incremental.streamAppend(
+        ds.toDF("doc_id", "tokens", "n_tok", "source"), s"$root/tbl", ckpt,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)),
+      maxRecords = 2, maxConsecutiveEmptyPolls = 2)
+    assert(n == 4)
+    t.refresh()
+    assert(t.scan(spark).count() == 4)
+    // polls (2 recs, 1 buffered rec, Flush, 1 rec) -> 3 committed batches
+    val ids = t.metadata.snapshots.flatMap(_.summary.get("stream-batch-id"))
+    assert(ids.distinct.size == 3)
+  }
 }
