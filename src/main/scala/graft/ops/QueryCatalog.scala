@@ -462,7 +462,14 @@ object QueryCatalog {
     val cached = lshPairCache.get()
     if (cached != null && cached._1 == key) cached._2
     else {
-      val pairs = DedupOps.minhashLshPairs(tbl(s, dir, "documents"), bands = 4,
+      // The sf-scale documents parquet is a single ~MB split, which would
+      // serialize the per-row hash work on one core; spread the slim
+      // (id, text) projection across the session's parallelism first. (At
+      // production scale the scan itself has thousands of splits and the
+      // caller passes docs through un-repartitioned.)
+      val docs = tbl(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      val pairs = DedupOps.minhashLshPairs(docs, bands = 4,
         rowsPerBand = 3, shingleN = 3, verifyThreshold = 0.6).localCheckpoint()
       lshPairCache.set((key, pairs))
       pairs

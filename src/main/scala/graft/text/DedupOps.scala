@@ -38,21 +38,22 @@ object DedupOps {
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** (h1, h2) double-hash pairs of the word n-gram shingles, via word-level
-    * polynomial composition: each word's characters are hashed once
-    * ([[TextOps.polyHash2Pow]]), then each shingle hash is assembled from
-    * the window's word states with the concatenation identity
-    * ([[TextOps.polyConcat2]]) — O(chars + shingles) interpreted-HOF steps
-    * instead of O(n · chars), with values BIT-IDENTICAL to hashing each
-    * shingle string directly (same polynomial), so hash-consuming oracles
-    * are unaffected. Windows are not deduplicated: downstream `array_min`
-    * (MinHash) is multiplicity-blind, and skipping the dedup also skips
-    * materializing every shingle as a string. */
-  def shingleHashPairs(textCol: org.apache.spark.sql.Column, n: Int) = {
-    val words = split(lower(trim(textCol)), "\\s+")
-    val states = transform(words, w => TextOps.polyHash2Pow(w))
+  /** Per-word [[TextOps.polyHash2Pow]] states of a text column. */
+  private[text] def wordHashStates(textCol: org.apache.spark.sql.Column) =
+    transform(split(lower(trim(textCol)), "\\s+"), w => TextOps.polyHash2Pow(w))
+
+  /** Shingle (h1, h2) hashes from an ALREADY-MATERIALIZED word-state array
+    * attribute: each window's hash is assembled from its word states with
+    * the concatenation identity ([[TextOps.polyConcat2]]). `states` MUST be
+    * a bound attribute from its own projection, never an inline expression:
+    * higher-order-function lambdas are interpreted, so an inline `states`
+    * is re-evaluated once per window — O(words · chars) per row, a ~20×
+    * regression measured at sf0.1. (CollapseProject keeps the projections
+    * separate because the alias is non-cheap and referenced more than
+    * once.) */
+  private[text] def shingleHashesFromStates(states: org.apache.spark.sql.Column, n: Int) =
     transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      sequence(lit(0), greatest(size(states) - n, lit(0))),
       i => {
         val window = slice(states, i + 1, lit(n))
         val first = element_at(window, 1)
@@ -61,7 +62,21 @@ object DedupOps {
           struct(first.getField("h1").as("h1"), first.getField("h2").as("h2")),
           (acc, w) => TextOps.polyConcat2(acc, w))
       })
-  }
+
+  /** (id, hp): word n-gram shingle double-hash pairs per document, via
+    * word-level polynomial composition — each character of the corpus is
+    * hashed ONCE ([[TextOps.polyHash2Pow]] per word, then O(1) combine
+    * steps per shingle) instead of once per covering shingle, with values
+    * BIT-IDENTICAL to hashing each shingle string directly (same
+    * polynomial), so hash-consuming oracles are unaffected. Windows are
+    * not deduplicated: downstream `array_min` (MinHash) is
+    * multiplicity-blind, and skipping the dedup also skips materializing
+    * every shingle as a string. */
+  def shingleHashed(
+      docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"), wordHashStates(col(textCol)).as("_ws"))
+      .select(col("id"), shingleHashesFromStates(col("_ws"), n).as("hp"))
 
   /**
    * Pairwise n-gram Jaccard similarity over candidate pairs sharing a join
@@ -121,9 +136,14 @@ object DedupOps {
       textCol: String = "text",
       maxBucket: Int = 64): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = docs
-      .select(col(idCol).as("id"), shingleHashPairs(col(textCol), shingleN).as("hp"))
-      .filter(size(col("hp")) > 0)
+    // NOTE: no size(hp) > 0 filter here — it is vacuous (the window
+    // sequence always yields >= 1 element, exactly like the oracle's
+    // WHERE len(sh) > 0), and a filter over hp would be predicate-pushed
+    // BELOW the projections, inlining the whole interpreted hash pipeline
+    // into the Filter condition with `_ws` re-evaluated per window
+    // (a measured ~10x regression). Empty texts hash to the ""-shingle
+    // pair and are later dropped by the null-Jaccard verify, as before.
+    val sigs = shingleHashed(docs, shingleN, idCol, textCol)
       .select(col("id") +: minHashes(col("hp"), k): _*)
     val banded = sigs.select(
       col("id"),

@@ -23,21 +23,20 @@ class DedupSpec extends SparkSpec {
     (9L, "a completely different document about spark engines !")
   ).toDF("doc_id", "text")
 
-  test("shingleHashPairs == polyHash2 over shingle strings (composition identity)") {
+  test("shingleHashed == polyHash2 over shingle strings (composition identity)") {
     for (n <- Seq(1, 2, 3, 4)) {
       val viaStrings = corpus.select(
-        col("doc_id"),
+        col("doc_id").as("id"),
         transform(
-          // same windows as shingleHashPairs: NOT deduped
+          // same windows as shingleHashed: NOT deduped
           transform(
             sequence(
               lit(0),
               greatest(size(split(lower(trim(col("text"))), "\\s+")) - n, lit(0))),
             i => concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), i + 1, lit(n)))),
           TextOps.polyHash2 _).as("hp"))
-      val viaWords = corpus.select(
-        col("doc_id"), DedupOps.shingleHashPairs(col("text"), n).as("hp"))
-      val diff = viaStrings.join(viaWords.withColumnRenamed("hp", "hp2"), Seq("doc_id"))
+      val viaWords = DedupOps.shingleHashed(corpus, n)
+      val diff = viaStrings.join(viaWords.withColumnRenamed("hp", "hp2"), Seq("id"))
         .filter(col("hp") =!= col("hp2"))
       assert(diff.isEmpty, s"n=$n: word-composed hashes diverge from string hashes")
     }
