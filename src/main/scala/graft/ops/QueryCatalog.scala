@@ -486,8 +486,7 @@ object QueryCatalog {
     DedupOps.connectedComponents(sharedMinhashPairs(s, dir))
 
   def ddpSimhash(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents").filter(col("doc_id") < 200)
-      .select(col("doc_id"), DedupOps.simHash(col("text")).as("simhash"))
+    DedupOps.simHashed(tbl(s, dir, "documents").filter(col("doc_id") < 200))
 
   def ddpEmbedCosineDup(s: SparkSession, dir: String): DataFrame =
     AnnOps.cosineNearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.2, planes = 4)

@@ -209,18 +209,31 @@ object DedupOps {
       .filter(col("jaccard") >= verifyThreshold)
   }
 
-  /** 64-bit SimHash over the word set: per-bit majority vote of word hashes,
-    * built from engine-portable integer column math only — bit b of a word's
-    * vote is the parity of the b-th seeded double hash. */
-  def simHash(textCol: org.apache.spark.sql.Column) = {
-    val hashes = transform(wordSet(textCol), TextOps.polyHash2 _)
+  /** 64-bit SimHash from word-hash (h1, h2) structs: per-bit majority vote,
+    * bit b of a word's vote is the parity of the b-th seeded double hash.
+    * `hashes` should be a MATERIALIZED attribute (see [[simHashed]]) — it is
+    * referenced by all 64 bit expressions, and an inline expression would be
+    * re-evaluated per bit. */
+  def simHashFromHashes(hashes: org.apache.spark.sql.Column) =
     (0 until 64).map { b =>
       val votes = aggregate(hashes, lit(0),
         (acc, s) => acc + when(
           TextOps.seededHash(b, s.getField("h1"), s.getField("h2")) % 2 === 1, 1).otherwise(-1))
       when(votes > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
-  }
+
+  /** 64-bit SimHash over the word set, single-Column convenience form —
+    * prefer [[simHashed]] for corpus-scale inputs (it stages the word-hash
+    * array in its own projection so the chars are hashed once, not 64×). */
+  def simHash(textCol: org.apache.spark.sql.Column) =
+    simHashFromHashes(transform(wordSet(textCol), TextOps.polyHash2 _))
+
+  /** (idCol, simhash) with the word-hash array materialized once per row. */
+  def simHashed(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      transform(wordSet(col(textCol)), TextOps.polyHash2 _).as("_wh"))
+      .select(col(idCol), simHashFromHashes(col("_wh")).as("simhash"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

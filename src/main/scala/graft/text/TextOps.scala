@@ -82,12 +82,11 @@ object TextOps {
    * hash over the character codes of the WHOLE text — pure integer math so an
    * independent SQL engine reproduces it exactly (no prefix truncation: two
    * documents differing only past any prefix still fingerprint apart).
+   * Identical values to the per-index `substr` fold (same polynomial over the
+   * same char codes; empty text → 0 both ways), but one split instead of a
+   * string allocation per character position.
    */
-  def fingerprint64(text: Column): Column =
-    aggregate(
-      sequence(lit(1), greatest(length(text), lit(1))),
-      lit(0L),
-      (acc, i) => pmod(acc * 131 + coalesce(ascii(text.substr(i, lit(1))), lit(0)), lit(1000000007L)))
+  def fingerprint64(text: Column): Column = polyHash(text, 131, HashMod1)
 
   // ------------------------------------------------------- portable hashing
   // Engine-portable hash family: pure integer column math (no xxhash64 —

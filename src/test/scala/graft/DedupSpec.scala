@@ -57,6 +57,31 @@ class DedupSpec extends SparkSpec {
     assert(viaJoin.exists { case (a, b, j) => a == 1L && b == 4L && j == 1.0 })
   }
 
+  test("minhash plan: hash pipeline stays in projections, never in a Filter condition") {
+    // The filter-pushdown trap (a measured ~10x regression): a predicate on
+    // a derived array column gets pushed below its projection, inlining the
+    // whole interpreted hash fold into the Filter condition — where any
+    // word-state reference inside a window lambda is re-evaluated per
+    // window. The hash fold (pmod arithmetic) must only ever appear in
+    // Project nodes.
+    val p = DedupOps.minhashLshPairs(corpus, bands = 4, rowsPerBand = 3,
+      shingleN = 3, verifyThreshold = 0.6)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val filterConditions = p.linesIterator.filter(_.contains("Condition")).toSeq
+    assert(!filterConditions.exists(_.contains("pmod")),
+      "interpreted hash fold inlined into a Filter condition")
+    assert(!p.contains("BroadcastNestedLoop"))
+  }
+
+  test("simHashed == simHash single-column form") {
+    val viaCol = corpus.select(col("doc_id"),
+      DedupOps.simHash(col("text")).as("simhash"))
+      .as[(Long, Long)].collect().toSet
+    val viaDf = DedupOps.simHashed(corpus).as[(Long, Long)].collect().toSet
+    assert(viaCol == viaDf)
+  }
+
   test("minhashLshPairs: duplicate-heavy corpus completes with bounded buckets") {
     // 2000 identical docs share every band: the old in-row expansion built
     // one 2000²/2-struct row per band; the split routes them through the
