@@ -90,6 +90,8 @@ object SparkEntry {
     "ann_quantize_int8" -> (Q.annQuantizeInt8 _),
     "pack_chunks" -> (Q.packChunks _),
     "pipeline_curate" -> (Q.pipelineCurate _),
+    "smp_stratified" -> (Q.smpStratified _),
+    "sel_token_budget" -> (Q.selTokenBudget _),
     // text analysis
     "txt_langid" -> (Q.txtLangId _),
     "txt_quality" -> (Q.txtQuality _),
@@ -231,6 +233,18 @@ object SparkEntry {
          |  ${ops.OracleSql.qualityExpr} AS quality
          |FROM b""".stripMargin,
     "pipeline_curate" -> ops.OracleSql.pipelineCurate(minQuality = 0.55, maxLen = 2048),
+    // Spark truncates (rate*10000).cast(long); FLOOR (not CAST) mirrors that
+    // in DuckDB, whose double->int cast rounds
+    "smp_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 10000 <
+        |  CAST(FLOOR((CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * 10000.0) AS BIGINT)""".stripMargin,
+    "sel_token_budget" ->
+      s"""WITH b AS (SELECT doc_id, text, ' ' || text || ' ' AS t,
+         |  len(string_split(trim(text), ' ')) AS words, n_chars FROM documents),
+         |q AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n, ${ops.OracleSql.qualityExpr} AS quality FROM b),
+         |o AS (SELECT doc_id, n, COALESCE(CAST(SUM(n) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off FROM q)
+         |SELECT doc_id, n FROM o WHERE n > 0 AND off + n <= 100000""".stripMargin,
     "txt_tokens" ->
       "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpeish_tokens FROM documents",
     "txt_fingerprint" ->

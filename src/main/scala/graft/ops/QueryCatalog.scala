@@ -549,6 +549,28 @@ object QueryCatalog {
     graft.text.SequencePack.chunkStats(curated, maxLen = 2048, nCol = "n_chars")
   }
 
+  // ================================= training-data ops: mixing & selection
+
+  /** Source mixing via deterministic stratified sampling: keep 50% of en,
+    * 25% of de, 10% of everything else — a pure integer-hash predicate of
+    * the id, so retries, repartitioning and the DuckDB oracle all select
+    * the same rows (no RNG state anywhere). */
+  def smpStratified(s: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.stratifiedSample(
+      tbl(s, dir, "documents"),
+      rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1,
+      stratumCol = "lang")
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Data selection under a token budget: quality-ranked greedy fill of
+    * whole documents via the distributed prefix-sum (never a global
+    * window). */
+  def selTokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.selectUnderBudget(
+      tbl(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        TextOps.qualityScore(col("text")).as("quality")),
+      budget = 100000, scoreCol = "quality", nCol = "n_chars")
+
   // ===================================== training-data ops: text analysis
 
   def txtLangId(s: SparkSession, dir: String): DataFrame =

@@ -1,6 +1,5 @@
 package graft.text
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -47,11 +46,15 @@ object SequencePack {
     // partitioner and lets the second job reuse the first's shuffle output.
     val sortedRdd = sorted.rdd
 
-    // pass 1: per-partition totals — one row per partition
-    val totals: Array[(Int, Long)] = sortedRdd.mapPartitions { it =>
+    // pass 1: per-partition totals — one row per partition.
+    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): the latter
+    // is the TASK's id, which collapses to 0 if a caller coalesce()s the
+    // result — every partition would then restart its cumsum at base 0.
+    // The index argument is the parent split index however tasks are fused.
+    val totals: Array[(Int, Long)] = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
       it.foreach(r => s += r.getLong(1))
-      Iterator((TaskContext.getPartitionId(), s))
+      Iterator((pid, s))
     }.collect()
     val prefix: Map[Int, Long] = {
       val byPid = totals.sortBy(_._1)
@@ -61,8 +64,8 @@ object SequencePack {
     val prefixBc = spark.sparkContext.broadcast(prefix)
 
     // pass 2: partition-local running offsets starting at the broadcast base
-    val rows = sortedRdd.mapPartitions { it =>
-      var acc = prefixBc.value.getOrElse(TaskContext.getPartitionId(), 0L)
+    val rows = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = prefixBc.value.getOrElse(pid, 0L)
       it.map { r =>
         val off = acc
         acc += r.getLong(1)
