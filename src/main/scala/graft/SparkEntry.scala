@@ -82,6 +82,7 @@ object SparkEntry {
     "ddp_minhash_lsh" -> (Q.ddpMinhashLsh _),
     "ddp_components" -> (Q.ddpComponents _),
     "ddp_simhash" -> (Q.ddpSimhash _),
+    "ddp_incremental" -> (Q.ddpIncremental _),
     "ddp_embed_cosine_dup" -> (Q.ddpEmbedCosineDup _),
     // similarity search
     "ann_brute_topk" -> (Q.annBruteTopK _),
@@ -208,6 +209,11 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     "ddp_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
+    "ddp_incremental" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        |FROM documents b WHERE doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id < 250 AND c.text = b.text)
+        |GROUP BY text""".stripMargin,
     "ddp_jaccard_pairs" ->
       """WITH ws AS (SELECT doc_id, lang, source, list_distinct(string_split(lower(trim(text)), ' ')) AS w FROM documents WHERE doc_id < 300)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -485,6 +485,16 @@ object QueryCatalog {
   def ddpComponents(s: SparkSession, dir: String): DataFrame =
     DedupOps.connectedComponents(sharedMinhashPairs(s, dir))
 
+  /** Incremental exact dedup of a "new crawl" (doc_id >= 250) against the
+    * historical corpus (doc_id < 250): content-hash anti-join + min-id
+    * per surviving text. */
+  def ddpIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    DedupOps.dedupAgainst(
+      batch = docs.filter(col("doc_id") >= 250),
+      corpus = docs.filter(col("doc_id") < 250))
+  }
+
   def ddpSimhash(s: SparkSession, dir: String): DataFrame =
     DedupOps.simHashed(tbl(s, dir, "documents").filter(col("doc_id") < 200))
 

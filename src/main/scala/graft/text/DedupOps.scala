@@ -26,6 +26,27 @@ object DedupOps {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("dup_count"))
 
+  /** Incremental exact dedup: from a NEW batch, keep one doc per text that
+    * does not already exist in the historical corpus — the shape every
+    * recurring crawl ingestion needs. Anti-join on the same 128-bit content
+    * key as [[exactDedup]] (16 bytes a side — the text never shuffles),
+    * then min-id-per-text within the surviving batch. Returns
+    * (idCol, dup_count) like exactDedup. */
+  def dedupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def key(df: DataFrame) = df.select(
+      xxhash64(col(textCol), lit(1)).as("_h1"), xxhash64(col(textCol), lit(2)).as("_h2"),
+      col(idCol))
+    key(batch)
+      .join(key(corpus).drop(idCol).distinct(), Seq("_h1", "_h2"), "left_anti")
+      .groupBy(col("_h1"), col("_h2"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("dup_count"))
+  }
+
   /** Distinct lowercase word set of a text column (the 1-gram shingle set). */
   def wordSet(textCol: org.apache.spark.sql.Column) =
     array_distinct(filter(split(lower(trim(textCol)), "\\s+"), w => length(w) > 0))
