@@ -206,9 +206,17 @@ object QueryCatalog {
       stream, tsCol = "ts", keyCol = "event_type",
       watermarkDelay = "1 hour", windowDuration = "1 day")
     val sink = "win_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = counts.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    q.processAllAvailable(); q.stop()
+    // The state-store partition count is pinned from shuffle.partitions at
+    // query start; 32 state partitions x 5+ micro-batches over a ~10k-event
+    // replay is pure per-batch overhead. 8 is a harness choice for the
+    // replay; the operator itself is partition-count agnostic.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(sink)
   }
 
