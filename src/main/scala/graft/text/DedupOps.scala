@@ -78,9 +78,13 @@ object DedupOps {
       i => {
         val window = slice(states, i + 1, lit(n))
         val first = element_at(window, 1)
+        // empty/whitespace-only text: split gives [] (NOT [""]), so the
+        // window is empty and `first` is null — coalesce to (0, 0), the
+        // hash of "", exactly what hashing the empty shingle string yields
         aggregate(
           slice(window, lit(2), lit(n - 1)),
-          struct(first.getField("h1").as("h1"), first.getField("h2").as("h2")),
+          struct(coalesce(first.getField("h1"), lit(0L)).as("h1"),
+            coalesce(first.getField("h2"), lit(0L)).as("h2")),
           (acc, w) => TextOps.polyConcat2(acc, w))
       })
 

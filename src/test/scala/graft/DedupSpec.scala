@@ -36,8 +36,11 @@ class DedupSpec extends SparkSpec {
             i => concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), i + 1, lit(n)))),
           TextOps.polyHash2 _).as("hp"))
       val viaWords = DedupOps.shingleHashed(corpus, n)
+      // null-SAFE inequality: =!= on structs with null fields returns null
+      // and silently drops the row — exactly how the empty-text divergence
+      // slipped past this test once
       val diff = viaStrings.join(viaWords.withColumnRenamed("hp", "hp2"), Seq("id"))
-        .filter(col("hp") =!= col("hp2"))
+        .filter(!(col("hp") <=> col("hp2")))
       assert(diff.isEmpty, s"n=$n: word-composed hashes diverge from string hashes")
     }
   }
@@ -55,6 +58,14 @@ class DedupSpec extends SparkSpec {
     assert(viaJoin == viaExpansion)
     // the exact duplicates must be found
     assert(viaJoin.exists { case (a, b, j) => a == 1L && b == 4L && j == 1.0 })
+  }
+
+  test("empty texts hash as the empty shingle and pair with jaccard 1.0") {
+    val pairs = DedupOps.minhashLshPairs(
+      Seq((1L, ""), (2L, "   "), (3L, "real text here")).toDF("doc_id", "text"),
+      bands = 2, rowsPerBand = 2, shingleN = 3, verifyThreshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1.0)))
   }
 
   test("minhash plan: hash pipeline stays in projections, never in a Filter condition") {
