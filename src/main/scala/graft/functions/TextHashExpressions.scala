@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the text-hash hot paths. The pure-column
+ * formulations (per-char `aggregate` folds in [[graft.text.TextOps]]) are
+ * the semantic reference and stay as the oracle-shared definition, but
+ * Catalyst interprets higher-order-function lambdas — one expression-tree
+ * walk per character is the measured cost center of MinHash/SimHash/
+ * fingerprinting at corpus scale. These expressions compute the identical
+ * values in a tight JVM loop (one `eval` call per row).
+ *
+ * Exactness contract (pinned by DedupSpec's identity tests over nasty
+ * strings): Spark's `trim` strips ASCII spaces only → `UTF8String.trim`;
+ * `lower` → `UTF8String.toLowerCase` (same call the builtin makes);
+ * `split(s, re)` has exact Java `Pattern.split(s, -1)` semantics INCLUDING
+ * the empty input → [""] case (show() renders [""] as [] — do not be
+ * fooled twice); `split(w, '')` is code-point-aware and `ascii` of a
+ * single-code-point string is the code point — so iterating code points
+ * replicates the columnar fold exactly.
+ */
+object TextHash {
+  val P1: Long = 1000000007L
+  val P2: Long = 999999937L
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  def words(s: UTF8String): Array[String] =
+    WS.split(s.trim().toLowerCase().toString, -1)
+
+  /** (h1, h2, base1^len, base2^len) of one word's code points. */
+  def hashWord(w: String): Array[Long] = {
+    var h1 = 0L; var h2 = 0L; var p1 = 1L; var p2 = 1L
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      i += Character.charCount(cp)
+      h1 = (h1 * 131 + cp) % P1
+      h2 = (h2 * 137 + cp) % P2
+      p1 = (p1 * 131) % P1
+      p2 = (p2 * 137) % P2
+    }
+    Array(h1, h2, p1, p2)
+  }
+
+  /** Polynomial code-point hash of the raw string (no trim/lower/split) —
+    * the [[graft.text.TextOps.polyHash]] fold. */
+  def polyHash(s: UTF8String, base: Long, mod: Long): Long = {
+    val t = s.toString
+    var h = 0L
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      i += Character.charCount(cp)
+      h = (h * base + cp) % mod
+    }
+    h
+  }
+
+  val stateType: StructType = StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false),
+    StructField("p1", LongType, nullable = false),
+    StructField("p2", LongType, nullable = false)))
+
+  val pairType: StructType = StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+}
+
+/** Per-word (h1, h2, p1, p2) states of a text — the native form of
+  * `transform(split(lower(trim(text)), "\\s+"), polyHash2Pow)`. Word order
+  * and duplicates preserved (MinHash consumes these positionally). */
+case class WordHashStates(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(TextHash.stateType, containsNull = false)
+  override def prettyName: String = "word_hash_states"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val ws = TextHash.words(input.asInstanceOf[UTF8String])
+    val out = new Array[Any](ws.length)
+    var i = 0
+    while (i < ws.length) {
+      val h = TextHash.hashWord(ws(i))
+      out(i) = InternalRow(h(0), h(1), h(2), h(3))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordHashStates =
+    copy(child = newChild)
+}
+
+/** Distinct-word (h1, h2) hashes in first-occurrence order — the native
+  * form of `transform(wordSet(text), polyHash2)` (filter empties, THEN
+  * distinct by word string: two distinct words that hash-collide keep both
+  * entries, exactly like the columnar/oracle definition). */
+case class WordSetHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(TextHash.pairType, containsNull = false)
+  override def prettyName: String = "word_set_hashes"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val ws = TextHash.words(input.asInstanceOf[UTF8String])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < ws.length) {
+      if (ws(i).nonEmpty) seen.add(ws(i))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      val h = TextHash.hashWord(it.next())
+      out(j) = InternalRow(h(0), h(1))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordSetHashes =
+    copy(child = newChild)
+}
+
+/** Polynomial rolling hash of the raw character stream — the native form of
+  * [[graft.text.TextOps.polyHash]] (and of `fingerprint64` at base 131 mod
+  * p1). */
+case class CharPolyHash(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(base > 0 && mod > 1 && mod < (1L << 31), "base/mod out of overflow-safe range")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_poly_hash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.polyHash(input.asInstanceOf[UTF8String], base, mod)
+
+  override protected def withNewChildInternal(newChild: Expression): CharPolyHash =
+    copy(child = newChild)
+}

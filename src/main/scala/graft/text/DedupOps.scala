@@ -59,8 +59,18 @@ object DedupOps {
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** Per-word [[TextOps.polyHash2Pow]] states of a text column. */
-  private[text] def wordHashStates(textCol: org.apache.spark.sql.Column) =
+  /** Per-word [[TextOps.polyHash2Pow]] states of a text column, computed by
+    * the native [[graft.functions.WordHashStates]] expression (one JVM loop
+    * per row instead of an interpreted per-char lambda walk — the measured
+    * MinHash cost center). [[wordHashStatesColumnar]] is the semantic
+    * reference; DedupSpec pins their equality over nasty strings. */
+  private[graft] def wordHashStates(textCol: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WordHashStates(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol)))
+
+  /** The pure-column reference formulation of [[wordHashStates]]. */
+  private[graft] def wordHashStatesColumnar(textCol: org.apache.spark.sql.Column) =
     transform(split(lower(trim(textCol)), "\\s+"), w => TextOps.polyHash2Pow(w))
 
   /** Shingle (h1, h2) hashes from an ALREADY-MATERIALIZED word-state array
@@ -77,10 +87,13 @@ object DedupOps {
       sequence(lit(0), greatest(size(states) - n, lit(0))),
       i => {
         val window = slice(states, i + 1, lit(n))
-        val first = element_at(window, 1)
-        // empty/whitespace-only text: split gives [] (NOT [""]), so the
-        // window is empty and `first` is null — coalesce to (0, 0), the
-        // hash of "", exactly what hashing the empty shingle string yields
+        // Defensive null handling for a caller-supplied empty states array:
+        // get() (null on out-of-bounds under any ANSI setting — element_at
+        // throws once containsNull=false lets it prove non-nullness) +
+        // coalesce to (0, 0), the hash of "". With the standard word
+        // splitter this never fires — split('', re) = [""] (a real empty
+        // word), not [].
+        val first = get(window, lit(0))
         aggregate(
           slice(window, lit(2), lit(n - 1)),
           struct(coalesce(first.getField("h1"), lit(0L)).as("h1"),
@@ -253,11 +266,16 @@ object DedupOps {
   def simHash(textCol: org.apache.spark.sql.Column) =
     simHashFromHashes(transform(wordSet(textCol), TextOps.polyHash2 _))
 
-  /** (idCol, simhash) with the word-hash array materialized once per row. */
+  /** (idCol, simhash) with the word-hash array materialized once per row by
+    * the native [[graft.functions.WordSetHashes]] expression (distinct
+    * words in first-occurrence order, hashed in one JVM loop; equality with
+    * the columnar [[simHash]] is spec-pinned). */
   def simHashed(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
-      transform(wordSet(col(textCol)), TextOps.polyHash2 _).as("_wh"))
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.WordSetHashes(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)))).as("_wh"))
       .select(col(idCol), simHashFromHashes(col("_wh")).as("simhash"))
 
   /** Hamming distance between two 64-bit fingerprints. */

@@ -82,11 +82,14 @@ object TextOps {
    * hash over the character codes of the WHOLE text — pure integer math so an
    * independent SQL engine reproduces it exactly (no prefix truncation: two
    * documents differing only past any prefix still fingerprint apart).
-   * Identical values to the per-index `substr` fold (same polynomial over the
-   * same char codes; empty text → 0 both ways), but one split instead of a
-   * string allocation per character position.
+   * Computed by the native [[graft.functions.CharPolyHash]] expression (one
+   * JVM loop per row); [[polyHash]] at base 131 mod p1 is the pure-column
+   * reference definition, equality spec-pinned.
    */
-  def fingerprint64(text: Column): Column = polyHash(text, 131, HashMod1)
+  def fingerprint64(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.CharPolyHash(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), 131, HashMod1))
 
   // ------------------------------------------------------- portable hashing
   // Engine-portable hash family: pure integer column math (no xxhash64 —

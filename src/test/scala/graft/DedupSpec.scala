@@ -23,6 +23,37 @@ class DedupSpec extends SparkSpec {
     (9L, "a completely different document about spark engines !")
   ).toDF("doc_id", "text")
 
+  /** Strings chosen to stress every semantic edge the native hash
+    * expressions must replicate: empty, space-only (trim eats it),
+    * tab-edged (trim does NOT eat \t — split yields edge "" words),
+    * NBSP (not regex \s — stays inside a word), case folding incl. ß/İ,
+    * supplementary-plane code points, repeated internal whitespace. */
+  private def nastyCorpus = Seq(
+    "", " ", "\t", "\ta b\t", "x", "Thé qüick",
+    new String(Character.toChars(0x1F642)) + " word",
+    "a b", "MIXED Case\nnewline", "  double  spaces  ", "ß İ I STRASSE"
+  ).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+
+  test("native hash expressions == columnar reference folds on nasty strings") {
+    // WordHashStates vs the pure-column per-char fold
+    val states = nastyCorpus.select(col("doc_id"),
+      DedupOps.wordHashStates(col("text")).as("h"))
+    val statesRef = nastyCorpus.select(col("doc_id"),
+      DedupOps.wordHashStatesColumnar(col("text")).as("h2"))
+    assert(states.join(statesRef, Seq("doc_id"))
+      .filter(!(col("h") <=> col("h2"))).isEmpty, "WordHashStates diverges")
+    // WordSetHashes (via simHashed) vs the columnar simHash
+    val sim = DedupOps.simHashed(nastyCorpus).as[(Long, Long)].collect().toSet
+    val simRef = nastyCorpus.select(col("doc_id"),
+      DedupOps.simHash(col("text")).as("simhash")).as[(Long, Long)].collect().toSet
+    assert(sim == simRef, "WordSetHashes diverges from columnar simHash")
+    // CharPolyHash (via fingerprint64) vs the columnar polyHash fold
+    val fp = nastyCorpus.select(col("doc_id"),
+      TextOps.fingerprint64(col("text")).as("f"),
+      TextOps.polyHash(col("text"), 131, TextOps.HashMod1).as("f2"))
+    assert(fp.filter(!(col("f") <=> col("f2"))).isEmpty, "CharPolyHash diverges")
+  }
+
   test("shingleHashed == polyHash2 over shingle strings (composition identity)") {
     for (n <- Seq(1, 2, 3, 4)) {
       val viaStrings = corpus.select(
