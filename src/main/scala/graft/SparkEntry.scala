@@ -75,6 +75,7 @@ object SparkEntry {
     "maint_schema_evolution" -> ((s, d) => MaintPipelines.schemaEvolutionRoundtrip(s, d)),
     "maint_incremental" -> ((s, d) => MaintPipelines.incrementalRoundtrip(s, d)),
     "maint_stream_append" -> ((s, d) => MaintPipelines.streamAppendRoundtrip(s, d)),
+    "maint_stream_merge" -> ((s, d) => MaintPipelines.streamMergeRoundtrip(s, d)),
     "stream_window_counts" -> (Q.streamWindowCounts _),
     // dedup
     "ddp_exact" -> (Q.ddpExact _),
@@ -201,6 +202,9 @@ object SparkEntry {
     "maint_schema_evolution" -> MaintPipelines.schemaEvolutionOracle,
     "maint_incremental" -> MaintPipelines.incrementalOracle,
     "maint_stream_append" -> MaintPipelines.streamAppendOracle,
+    // micro-batched MERGE converges to the one-shot MERGE state (ops are
+    // doc-disjoint), so the oracle is the merge oracle verbatim
+    "maint_stream_merge" -> MaintPipelines.mergeOracle,
     "maint_delete" -> MaintPipelines.deleteOracle,
     "stream_window_counts" ->
       """SELECT date_trunc('day', ts) AS window_start, event_type, COUNT(*) AS cnt

@@ -304,6 +304,27 @@ object MaintPipelines {
     verifiableScanMerged(spark, t)
   }
 
+  /** Structured-Streaming MERGE into a seeded table: the same update batch
+    * as mergeRoundtrip (upserts + inserts + deletes via `_op`) replayed as
+    * file-source micro-batches, each an idempotent per-batch MERGE commit
+    * ([[graft.streaming.Incremental.streamMerge]]). Docs are disjoint
+    * across ops, so any micro-batch split converges to the one-shot MERGE
+    * state — the oracle is mergeOracle verbatim. */
+  def streamMergeRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-streammerge-src").toString
+    updateBatch(spark, sfDir).repartition(6).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(TokenTable.sequenceSchema.add("_op", org.apache.spark.sql.types.StringType))
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dir)
+    val q = graft.streaming.Incremental.streamMerge(
+      stream, t.root.toString, s"${dir}-ckpt")
+    q.processAllAvailable(); q.stop()
+    t.refresh()
+    verifiableScan(spark, t)
+  }
+
   /** Scan for tables whose tokens use the update stream (mult=17, m=40009). */
   private def verifiableScanMerged(spark: SparkSession, t: TokenTable): DataFrame =
     t.scan(spark).select(
