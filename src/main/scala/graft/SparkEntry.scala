@@ -73,6 +73,7 @@ object SparkEntry {
     "maint_table_source" -> ((s, d) => MaintPipelines.tableSourcePushdown(s, d)),
     "maint_pipeline_yaml" -> ((s, d) => MaintPipelines.pipelineYamlRoundtrip(s, d)),
     "maint_schema_evolution" -> ((s, d) => MaintPipelines.schemaEvolutionRoundtrip(s, d)),
+    "maint_migrations" -> ((s, d) => MaintPipelines.migrationsRoundtrip(s, d)),
     "maint_incremental" -> ((s, d) => MaintPipelines.incrementalRoundtrip(s, d)),
     "maint_stream_append" -> ((s, d) => MaintPipelines.streamAppendRoundtrip(s, d)),
     "maint_stream_merge" -> ((s, d) => MaintPipelines.streamMergeRoundtrip(s, d)),
@@ -200,6 +201,7 @@ object SparkEntry {
     "maint_merge_fuzzy" -> MaintPipelines.mergeFuzzyOracle,
     "maint_pipeline_yaml" -> MaintPipelines.baseOracle,
     "maint_schema_evolution" -> MaintPipelines.schemaEvolutionOracle,
+    "maint_migrations" -> MaintPipelines.migrationsOracle,
     "maint_incremental" -> MaintPipelines.incrementalOracle,
     "maint_stream_append" -> MaintPipelines.streamAppendOracle,
     // micro-batched MERGE converges to the one-shot MERGE state (ops are

@@ -260,6 +260,50 @@ object MaintPipelines {
       col("source"), col("q"))
   }
 
+  /** Reified migration DAG end-to-end (reference
+    * nodestream/schema/migrations/migrations.py:10-270): migration YAML
+    * artifacts on disk → [[graft.table.MigrationGraph]] → squash-aware
+    * ordered plan → [[graft.table.Migrator]] applies each as a
+    * metadata-only schema commit → a batch lands under the evolved schema.
+    * The plan itself is asserted (m1, then the squash standing in for its
+    * three members) so a planner regression fails the gate loudly, not just
+    * the row hash. */
+  def migrationsRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.table.{AddColumn, DropColumn, Migration, MigrationGraph, Migrator, RenameColumn}
+    val t = freshTable(spark, sfDir)
+    val m1 = Migration("m1_add_quality", Seq(AddColumn("quality", "DOUBLE")), Nil)
+    val m2 = Migration("m2_rename_q", Seq(RenameColumn("quality", "q")), Seq("m1_add_quality"))
+    val m3 = Migration("m3_add_lang", Seq(AddColumn("lang", "STRING")), Seq("m1_add_quality"))
+    val m4 = Migration("m4_drop_lang", Seq(DropColumn("lang")), Seq("m2_rename_q", "m3_add_lang"))
+    val sq = Migration.squash("s_2_4", Seq(m2, m3, m4))
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft-migrations").toString, "migrations")
+    Seq(m1, m2, m3, m4, sq).foreach(_.writeToDirectory(t.fs, dir))
+    val applied = Migrator.migrate(t, MigrationGraph.fromDirectory(t.fs, dir))
+    require(applied.map(_.name) == Seq("m1_add_quality", "s_2_4"),
+      s"unexpected migration plan: ${applied.map(_.name)}")
+    require(t.schema.fieldNames.toSeq == Seq("doc_id", "tokens", "n_tok", "source", "q"),
+      s"unexpected evolved schema: ${t.schema.fieldNames.toSeq}")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val appended = docs.filter(pmod(col("doc_id"), lit(13)) === 6)
+      .select(
+        format_string("doc%012d", col("doc_id") + 30000000).as("doc_id"),
+        (col("doc_id") + 30000000).as("_id"),
+        (lit(8) + pmod(col("n_chars"), lit(61))).cast("int").as("n_tok"),
+        col("source"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), col("n_tok") - 1),
+          j => pmod(col("_id") * 17 + j, lit(40009)).cast("int")).as("tokens"),
+        col("n_tok"), col("source"),
+        (col("n_tok") * 0.5).as("q"))
+    t.commit("append", t.stageWrite(appended, "migrated-append"))
+    t.scan(spark).select(
+      expr("CAST(substring(doc_id, 4) AS BIGINT)").as("doc_id"),
+      col("n_tok"),
+      aggregate(col("tokens"), lit(0L), (acc, x) => acc + x).as("tok_sum"),
+      col("source"), col("q"))
+  }
+
   /** Incremental maintenance ticks: compact only what arrived since the
     * consumer's cursor (the reference's stream/Flush loop as a planner mode). */
   def incrementalRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
@@ -405,6 +449,18 @@ object MaintPipelines {
        |FROM documents WHERE doc_id % 11 = 4""".stripMargin
 
   val incrementalOracle: String = s"$baseOracle\nUNION ALL\n$appendedSql"
+
+  /** Appended-batch fragment for the migration gate: docs with
+    * doc_id % 13 = 6 shifted by 30M, token stream (17, 40009). */
+  private val migratedSql =
+    s"""SELECT doc_id + 30000000 AS doc_id, $nTok2Sql AS n_tok,
+       |  CAST(${tokSumSql("doc_id + 30000000", nTok2Sql, 17, 40009)} AS BIGINT) AS tok_sum, source
+       |FROM documents WHERE doc_id % 13 = 6""".stripMargin
+
+  val migrationsOracle: String =
+    s"""SELECT doc_id, n_tok, tok_sum, source, CAST(NULL AS DOUBLE) AS q FROM ($baseOracle)
+       |UNION ALL
+       |SELECT doc_id, n_tok, tok_sum, source, n_tok * 0.5 AS q FROM ($migratedSql)""".stripMargin
 
   val schemaEvolutionOracle: String =
     s"""SELECT doc_id, n_tok, tok_sum, source, CAST(NULL AS DOUBLE) AS q FROM ($baseOracle)

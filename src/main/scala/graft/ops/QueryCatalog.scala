@@ -195,8 +195,13 @@ object QueryCatalog {
     val bucketed = events.withColumn("_b",
       least(floor((tsSec(col("ts")) - lit(tsMin)) * 4.0 / span), lit(3.0)).cast("int"))
     (0 to 3).foreach { k =>
+      // repartition(1), NOT coalesce(1): coalesce would collapse the whole
+      // scan+filter chain into a single task (4 sequential single-threaded
+      // full scans of the events table); the shuffle keeps the scan parallel
+      // and only the quarter-sized write runs in one task (one file per
+      // bucket is what gives the replay its deterministic mtime order).
       bucketed.filter(col("_b") === k).drop("_b")
-        .coalesce(1).write.mode("overwrite").parquet(s"$src/b${k + 1}")
+        .repartition(1).write.mode("overwrite").parquet(s"$src/b${k + 1}")
     }
     val stream = s.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$src/*")

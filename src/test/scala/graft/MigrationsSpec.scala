@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+import graft.table._
+
+/** The reified migration DAG: YAML round-trip, topological planning,
+  * squash-aware plan selection, and the table-backed Migrator
+  * (reference nodestream/schema/migrations/migrations.py:10-270). */
+class MigrationsSpec extends SparkSpec {
+
+  private val m1 = Migration("m1_add_quality", Seq(AddColumn("quality", "DOUBLE")), Nil)
+  private val m2 = Migration("m2_rename_q", Seq(RenameColumn("quality", "q")), Seq("m1_add_quality"))
+  private val m3 = Migration("m3_add_lang", Seq(AddColumn("lang", "STRING")), Seq("m1_add_quality"))
+  private val m4 = Migration("m4_drop_lang", Seq(DropColumn("lang")), Seq("m2_rename_q", "m3_add_lang"))
+
+  test("YAML round-trip preserves name, ops, dependencies and replaces") {
+    val sq = Migration.squash("s_1_2", Seq(m1, m2))
+    Seq(m1, m2, m3, m4, sq).foreach { m =>
+      assert(Migration.fromYaml(m.toYaml) == m, s"round-trip of ${m.name}")
+    }
+  }
+
+  test("topological order is dependency-first and deterministic; leaves/roots detected") {
+    val g = MigrationGraph.fromMigrations(Seq(m4, m2, m3, m1)) // shuffled input
+    val order = g.topologicalOrder.map(_.name)
+    assert(order == Seq("m1_add_quality", "m2_rename_q", "m3_add_lang", "m4_drop_lang"))
+    assert(g.roots.map(_.name) == Seq("m1_add_quality"))
+    assert(g.leaves.map(_.name) == Seq("m4_drop_lang"))
+  }
+
+  test("unknown dependency and cycles fail loudly") {
+    val dangling = Migration("x", Nil, Seq("nope"))
+    intercept[NoSuchElementException] {
+      MigrationGraph.fromMigrations(Seq(dangling)).topologicalOrder
+    }
+    val a = Migration("a", Nil, Seq("b"))
+    val b = Migration("b", Nil, Seq("a"))
+    intercept[IllegalStateException] {
+      MigrationGraph.fromMigrations(Seq(a, b)).topologicalOrder
+    }
+  }
+
+  test("squash: reduced ops, external dependency frontier, replaces recorded") {
+    val sq = Migration.squash("s_2_4", Seq(m2, m3, m4))
+    // rename(quality→q) survives; add(lang)+drop(lang) annihilates
+    assert(sq.operations == Seq(RenameColumn("quality", "q")))
+    assert(sq.dependencies == Seq("m1_add_quality")) // m2/m3 internal deps dropped
+    assert(sq.replaces.toSet == Set("m2_rename_q", "m3_add_lang", "m4_drop_lang"))
+    assert(sq.isSquashed)
+    val g = MigrationGraph.fromMigrations(Seq(m1, m2, m3, m4))
+    val sq2 = g.squashBetween("s_all_after_m1", m2)
+    assert(sq2.replaces.toSet == Set("m2_rename_q", "m3_add_lang", "m4_drop_lang"))
+  }
+
+  test("plan: completed skipped; squash used on a clean slate, members used when chain started") {
+    val sq = Migration.squash("s_2_4", Seq(m2, m3, m4))
+    val g = MigrationGraph.fromMigrations(Seq(m1, m2, m3, m4, sq))
+
+    // clean slate after m1: the squash stands in for its three members
+    assert(g.orderedPlan(Set("m1_add_quality")).map(_.name) == Seq("s_2_4"))
+
+    // chain partially applied (m2 done): members finish one by one, squash skipped
+    assert(g.orderedPlan(Set("m1_add_quality", "m2_rename_q")).map(_.name) ==
+      Seq("m3_add_lang", "m4_drop_lang"))
+
+    // everything done (via squash): nothing to do
+    assert(g.orderedPlan(Set("m1_add_quality", "s_2_4")).isEmpty)
+  }
+
+  test("directory round-trip loads the same graph") {
+    val fs = new Path(tmpDir("migdir")).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val dir = new Path(tmpDir("migdir"), "migrations")
+    Seq(m1, m2, m3, m4).foreach(_.writeToDirectory(fs, dir))
+    val g = MigrationGraph.fromDirectory(fs, dir)
+    assert(g.all.map(_.name) ==
+      Seq("m1_add_quality", "m2_rename_q", "m3_add_lang", "m4_drop_lang"))
+    assert(g.topologicalOrder.map(_.name).last == "m4_drop_lang")
+  }
+
+  test("Migrator applies the outstanding plan to a table, records state, re-runs idempotently") {
+    val t = TokenTable.create(spark, tmpDir("migtable"))
+    val g = MigrationGraph.fromMigrations(Seq(m1, m2, m3))
+
+    val applied = Migrator.migrate(t, g)
+    assert(applied.map(_.name) == Seq("m1_add_quality", "m2_rename_q", "m3_add_lang"))
+    assert(Migrator.completed(t) == Set("m1_add_quality", "m2_rename_q", "m3_add_lang"))
+    val cols = t.schema.fieldNames.toSeq
+    assert(cols.contains("q") && cols.contains("lang") && !cols.contains("quality"))
+
+    // idempotent: nothing outstanding
+    assert(Migrator.migrate(t, g).isEmpty)
+
+    // new leaf arrives: only it runs, schema versions keep marching
+    val g2 = MigrationGraph.fromMigrations(Seq(m1, m2, m3, m4))
+    assert(Migrator.migrate(t, g2).map(_.name) == Seq("m4_drop_lang"))
+    assert(!t.schema.fieldNames.contains("lang"))
+  }
+
+  test("Migrator resumes mid-plan: a pre-recorded prefix is not re-applied") {
+    val t = TokenTable.create(spark, tmpDir("migtable2"))
+    // simulate a crash that applied m1 (schema change + log) but nothing after
+    t.evolveSchema(m1.operations)
+    TokenTable.writeString(t.fs, new Path(t.metadataDir, "migrations.log"),
+      "m1_add_quality\n", overwrite = true)
+    val g = MigrationGraph.fromMigrations(Seq(m1, m2, m3))
+    val applied = Migrator.migrate(t, g)
+    assert(applied.map(_.name) == Seq("m2_rename_q", "m3_add_lang"))
+    assert(t.schema.fieldNames.count(_ == "q") == 1)
+  }
+}
