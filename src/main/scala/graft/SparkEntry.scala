@@ -100,6 +100,8 @@ object SparkEntry {
     "txt_quality" -> (Q.txtQuality _),
     "txt_tokens" -> (Q.txtTokens _),
     "txt_fingerprint" -> (Q.txtFingerprint _),
+    "txt_repetition" -> (Q.txtRepetition _),
+    "txt_pii_scrub" -> (Q.txtPiiScrub _),
     // multimodal plumbing
     "mm_decode_meta" -> (Q.mmDecodeMeta _),
     "mm_frame_resize" -> (Q.mmFrameResize _))
@@ -266,6 +268,21 @@ object SparkEntry {
         |  SELECT doc_id, pre, i + 1, (acc*131 + COALESCE(ascii(substring(pre, i, 1)), 0)) % 1000000007 FROM f WHERE i <= GREATEST(length(pre), 1)
         |)
         |SELECT doc_id, acc AS fp FROM f WHERE i = GREATEST(length(pre), 1) + 1""".stripMargin,
+    "txt_repetition" ->
+      """WITH b AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, len(ws) AS n,
+        |  CASE WHEN len(ws) >= 2 THEN list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS bg FROM b)
+        |SELECT doc_id, CAST(n AS INT) AS n_words,
+        |  ROUND(CAST(n - len(list_distinct(ws)) AS DOUBLE)/n, 4) AS dup_word_frac,
+        |  ROUND(CAST(list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)/n, 4) AS top_word_frac,
+        |  CASE WHEN n >= 2 THEN ROUND(CAST(list_max(list_transform(list_distinct(bg), w -> len(list_filter(bg, x -> x = w)))) AS DOUBLE)/(n-1), 4) ELSE NULL END AS top_bigram_frac
+        |FROM c""".stripMargin,
+    "txt_pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text || ' contact doc' || doc_id || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) + len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS INT) AS n_redactions,
+        |  regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM p""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id AS media_id,
         |  ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,

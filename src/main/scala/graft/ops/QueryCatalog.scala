@@ -615,6 +615,37 @@ object QueryCatalog {
     tbl(s, dir, "documents").select(
       col("doc_id"), TextOps.fingerprint64(col("text")).as("fp"))
 
+  /** Gopher-style repetition signals: dup-word fraction, top-word mass,
+    * top-bigram mass. The word and bigram arrays are staged in their own
+    * projections — every HOF lambda then references a materialized
+    * attribute instead of re-splitting the text (interpreted-HOF rule,
+    * see simHashed). Map-only: no shuffle at any scale. */
+  def txtRepetition(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), TextOps.wordBigrams(col("ws")).as("bg"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("int").as("n_words"),
+        TextOps.dupFraction(col("ws")).as("dup_word_frac"),
+        TextOps.topItemFraction(col("ws")).as("top_word_frac"),
+        when(size(col("ws")) >= 2, TextOps.topItemFraction(col("bg")))
+          .otherwise(lit(null).cast("double")).as("top_bigram_frac"))
+
+  /** PII redaction over a corpus that provably contains PII: a deterministic
+    * contact line (email + phone derived from doc_id) is appended first, so
+    * the scrub demonstrably fires on every row; output is the full scrubbed
+    * text (hash-compared against the oracle) plus the redaction count. */
+  def txtPiiScrub(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact doc"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("t"))
+      .select(col("doc_id"),
+        TextOps.piiRedactionCount(col("t")).as("n_redactions"),
+        TextOps.piiScrub(col("t")).as("clean"))
+
   // ===================================== training-data ops: multimodal
 
   def mmDecodeMeta(s: SparkSession, dir: String): DataFrame = {

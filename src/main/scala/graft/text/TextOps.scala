@@ -77,6 +77,52 @@ object TextOps {
     round(lenScore * 0.4 + least(punctRatio, lit(1.0)) * 0.2 + stopRatio * 0.4, 4)
   }
 
+  // --------------------------------------------- repetition quality signals
+
+  /** Fraction of words that are repeats of an earlier word — the cheap half
+    * of Gopher's repetition filters (Rae et al. 2021 §A1.1, public paper).
+    * Pure column algebra over an already-split word array: no explode, no
+    * shuffle, one pass per row. */
+  def dupFraction(ws: Column): Column =
+    round((size(ws) - size(array_distinct(ws))).cast("double") / size(ws), 4)
+
+  /** Mass of the most frequent item (word / n-gram) in `items` — Gopher's
+    * top-n-gram fraction. `items` must be a MATERIALIZED attribute (stage
+    * the split in its own projection): the distinct list and the per-item
+    * count lambdas all reference it, and an inline expression would re-split
+    * the text once per reference. Per-row cost is O(n · distinct), bounded
+    * by document length — fine for the ≤ few-thousand-word documents this
+    * signal is defined over. */
+  def topItemFraction(items: Column): Column =
+    round(array_max(transform(array_distinct(items),
+      w => size(filter(items, x => x === w)))).cast("double") / size(items), 4)
+
+  /** Adjacent word bigrams of a word array; empty below two words (the
+    * `when` gate also keeps `sequence(1, 0)` — which Spark would produce
+    * DESCENDING — from ever evaluating). */
+  def wordBigrams(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  // ------------------------------------------------------------- PII scrub
+
+  /** Conservative PII patterns (email + NANP-ish 3-4 phone tail): the RE2 /
+    * Java-regex common subset, so an independent engine scrubs identically. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\b\\d{3}-\\d{4}\\b"
+
+  def piiRedactionCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRegex), lit(0))) +
+      size(regexp_extract_all(text, lit(PhoneRegex), lit(0)))).cast("int")
+
+  /** Replace every email/phone match with a typed placeholder token —
+    * codegen'd regexp_replace, no UDF; at 100 TB this is a map-only stage
+    * with zero shuffle. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRegex, "<EMAIL>"), PhoneRegex, "<PHONE>")
+
   /**
    * Order-sensitive rolling document fingerprint: polynomial position-weighted
    * hash over the character codes of the WHOLE text — pure integer math so an
