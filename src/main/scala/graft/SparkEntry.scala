@@ -78,6 +78,7 @@ object SparkEntry {
     "maint_stream_append" -> ((s, d) => MaintPipelines.streamAppendRoundtrip(s, d)),
     "maint_stream_merge" -> ((s, d) => MaintPipelines.streamMergeRoundtrip(s, d)),
     "stream_window_counts" -> (Q.streamWindowCounts _),
+    "stream_dedup" -> (Q.streamDedup _),
     // dedup
     "ddp_exact" -> (Q.ddpExact _),
     "ddp_jaccard_pairs" -> (Q.ddpJaccardPairs _),
@@ -210,6 +211,8 @@ object SparkEntry {
     // doc-disjoint), so the oracle is the merge oracle verbatim
     "maint_stream_merge" -> MaintPipelines.mergeOracle,
     "maint_delete" -> MaintPipelines.deleteOracle,
+    "stream_dedup" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
     "stream_window_counts" ->
       """SELECT date_trunc('day', ts) AS window_start, event_type, COUNT(*) AS cnt
         |FROM events

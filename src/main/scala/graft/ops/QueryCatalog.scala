@@ -177,7 +177,9 @@ object QueryCatalog {
     * relationally. */
   def streamWindowCounts(s: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
-    val events = tbl(s, dir, "events")
+    // Cache for the replay prep: the min/max probe and the four bucket
+    // writes below would otherwise each rescan the parquet (5 full scans).
+    val events = tbl(s, dir, "events").persist()
     // Replay in event-time order (4 sequential time-range files): an
     // unordered replay would race the advancing watermark and drop
     // arbitrary events as late — a replay artifact, not stream semantics.
@@ -203,6 +205,7 @@ object QueryCatalog {
       bucketed.filter(col("_b") === k).drop("_b")
         .repartition(1).write.mode("overwrite").parquet(s"$src/b${k + 1}")
     }
+    events.unpersist()
     val stream = s.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$src/*")
       // watermarks require TIMESTAMP (ltz); the table stores NTZ — UTC session
@@ -219,6 +222,44 @@ object QueryCatalog {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(sink)
+  }
+
+  /** Streaming exactly-once dedup under at-least-once delivery: batch 1 is
+    * the full events table, batch 2 re-delivers every fifth event (same
+    * payload — an upstream bus retry), [[graft.streaming.Stateful
+    * .streamingDedup]] drops the re-deliveries. The watermark delay is
+    * derived from the replayed span so every key's state provably outlives
+    * the replay — semantics stay exact at any sf; a production stream would
+    * set it to the bus's re-delivery horizon instead. Oracle: the events
+    * table itself (each event exactly once). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Files.createTempDirectory("graft-stream-ddp").toString
+    val events = tbl(s, dir, "events").persist()
+    val tsSec = (c: Column) => c.cast("timestamp").cast("long")
+    val Array(tsMin, tsMax) = events
+      .agg(min(tsSec(col("ts"))), max(tsSec(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val delay = s"${tsMax - tsMin + 3600} seconds"
+    events.repartition(1).write.mode("overwrite").parquet(s"$src/b1")
+    events.filter(pmod(col("event_id"), lit(5)) === 3)
+      .repartition(1).write.mode("overwrite").parquet(s"$src/b2")
+    val schema = events.schema
+    events.unpersist()
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/*")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val deduped = graft.streaming.Stateful.streamingDedup(
+      stream, keyCols = Seq("event_id"), tsCol = "ts", watermarkDelay = delay)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val sink = "ddp_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = deduped.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       q.processAllAvailable(); q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)

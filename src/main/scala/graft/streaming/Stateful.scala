@@ -33,6 +33,23 @@ object Stateful {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
 
+  /** Exactly-once streaming dedup: the first arrival of a key is emitted
+    * immediately (append mode), re-deliveries are dropped while the key's
+    * state lives. Keyed state is scoped by the event-time watermark —
+    * `dropDuplicatesWithinWatermark` evicts a key once the watermark passes
+    * its event time + `watermarkDelay`, so state is bounded by the
+    * re-delivery horizon (an at-least-once bus re-sends within minutes, not
+    * days), NOT by stream length: the property that makes streaming ingest
+    * dedup viable over unbounded streams on a 1000-executor cluster. */
+  def streamingDedup(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(user_id: Long, ts: Timestamp)
   final case class SessionState(startMs: Long, endMs: Long, nEvents: Long)
   final case class SessionsState(sessions: Seq[SessionState])
