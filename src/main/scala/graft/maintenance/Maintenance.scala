@@ -568,6 +568,83 @@ object Maintenance {
       replacedRange = TokenTable.docRange(fullyCovered ++ partial)))
   }
 
+  /**
+   * Merge-on-read delete: stage the matching doc_id keys as equality-delete
+   * files and commit — O(deleted keys), while copy-on-write [[deleteWhere]]
+   * is O(touched file bytes). At 100 TB, deleting 0.1% of rows scattered
+   * across every file rewrites the whole table under CoW; here it writes a
+   * key set three orders of magnitude smaller. Files whose stats PROVE every
+   * row matches still drop metadata-only (no keys staged for them). Scans
+   * apply pending deletes as an anti-join ([[TokenTable.readFiles]]);
+   * compaction / clustering / MERGE materialize them for free as files are
+   * rewritten (rewrites read through the same path and restamp sequence
+   * numbers); [[materializeDeletes]] forces the rewrite and retires the key
+   * files. The CoW/MoR trade is the caller's: CoW keeps scans pristine,
+   * MoR makes the delete itself cheap — exactly Iceberg's two modes.
+   */
+  def deleteWhereMor(
+      spark: SparkSession,
+      table: TokenTable,
+      pred: DeletePredicate): Option[Snapshot] = {
+    val live = table.liveFiles()
+    val fullyCovered = live.filter(pred.coversFile)
+    val partial = live.filter(f => pred.intersectsFile(f) && !pred.coversFile(f))
+    if (fullyCovered.isEmpty && partial.isEmpty) return None
+    val keys =
+      if (partial.isEmpty) Seq.empty
+      else table.stageDeleteKeys(
+        // readFiles applies EXISTING pending deletes, so already-deleted
+        // rows never re-stage their keys.
+        table.readFiles(spark, partial).filter(pred.toColumn).select(col("doc_id")),
+        s"mor-${java.util.UUID.randomUUID()}")
+    if (fullyCovered.isEmpty && keys.isEmpty) return None
+    Some(table.commit("delete-mor", Seq.empty,
+      replaced = fullyCovered.map(_.path).toSet,
+      summary = Map(
+        "predicate" -> pred.toString,
+        "metadata-only-deleted-files" -> fullyCovered.size.toString,
+        "delete-key-files" -> keys.size.toString,
+        "delete-keys" -> keys.map(_.records).sum.toString),
+      replacedRange = TokenTable.docRange(fullyCovered),
+      addDeletes = keys))
+  }
+
+  /**
+   * Force-materialize pending merge-on-read deletes: rewrite exactly the
+   * files some delete still applies to (sequence tier + doc-range pruning —
+   * untouched ranges are never read), then retire every delete key file.
+   * After this, scans are anti-join-free again.
+   */
+  def materializeDeletes(
+      spark: SparkSession,
+      table: TokenTable,
+      targetFileBytes: Long = DefaultTargetFileBytes): Option[Snapshot] = {
+    val snap = table.metadata.currentSnapshot.getOrElse(return None)
+    val deletes = table.deleteEntries(snap)
+    if (deletes.isEmpty) return None
+    val live = table.liveFiles()
+    val affected = live.filter { f =>
+      deletes.exists(d =>
+        d.seqOr0 > f.seqOr0 && d.maxDocId >= f.minDocId && d.minDocId <= f.maxDocId)
+    }
+    val staged =
+      if (affected.isEmpty) Seq.empty
+      else {
+        val kept = table.readFiles(spark, affected) // anti-join applies here
+        val nOut = math.max(1, math.ceil(
+          affected.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
+        table.stageWrite(kept.repartitionByRange(nOut, col("doc_id")),
+          s"materialize-${java.util.UUID.randomUUID()}")
+      }
+    Some(table.commit("materialize-deletes", staged,
+      replaced = affected.map(_.path).toSet,
+      summary = Map(
+        "rewritten-files" -> affected.size.toString,
+        "retired-delete-files" -> deletes.size.toString),
+      replacedRange = TokenTable.docRange(affected),
+      dropDeletePaths = deletes.map(_.path).toSet))
+  }
+
   // ------------------------------------------------------- manifest rewrite
 
   /** Metadata-only manifest rewrite: regroup live file entries into manifests

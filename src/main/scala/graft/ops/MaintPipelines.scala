@@ -260,6 +260,44 @@ object MaintPipelines {
       col("source"), col("q"))
   }
 
+  /**
+   * Merge-on-read delete end-to-end with sequence-number semantics:
+   * MoR-delete the 1%-of-rows-scattered-in-every-file stratum (n_tok > 4096
+   * long docs ⇔ doc_id % 100 = 0) — the commit must stage ONLY key files,
+   * never rewrite data (asserted); re-insert the same doc ids with fresh
+   * payloads — a higher-sequence append the pending delete must NOT touch;
+   * then force-materialize, which rewrites only affected files and retires
+   * every key file (asserted). The scan must show each deleted doc exactly
+   * once, wearing its re-inserted payload.
+   */
+  def deleteMorRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.maintenance.Maintenance
+    val t = freshTable(spark, sfDir)
+    val before = t.liveFiles().map(_.path).toSet
+    val snap = Maintenance.deleteWhereMor(spark, t, Maintenance.NTokGreaterThan(512))
+    require(snap.nonEmpty, "MoR delete found nothing to do")
+    require(t.liveFiles().map(_.path).toSet == before,
+      "MoR delete rewrote data files — it must cost O(deleted keys)")
+    require(t.metadata.currentSnapshot.exists(_.deletes.nonEmpty),
+      "MoR delete committed no delete manifest")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val reins = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(
+        format_string("doc%012d", col("doc_id")).as("doc_id"),
+        col("doc_id").as("_id"),
+        (lit(8) + pmod(col("n_chars"), lit(61))).cast("int").as("n_tok"),
+        col("source"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), col("n_tok") - 1),
+          j => pmod(col("_id") * 17 + j, lit(40009)).cast("int")).as("tokens"),
+        col("n_tok"), col("source"))
+    t.commit("append", t.stageWrite(reins, "mor-reinsert"))
+    Maintenance.materializeDeletes(spark, t)
+    require(t.metadata.currentSnapshot.forall(_.deletes.isEmpty),
+      "materializeDeletes left key files pending")
+    verifiableScan(spark, t)
+  }
+
   /** Reified migration DAG end-to-end (reference
     * nodestream/schema/migrations/migrations.py:10-270): migration YAML
     * artifacts on disk → [[graft.table.MigrationGraph]] → squash-aware
@@ -456,6 +494,17 @@ object MaintPipelines {
     s"""SELECT doc_id + 30000000 AS doc_id, $nTok2Sql AS n_tok,
        |  CAST(${tokSumSql("doc_id + 30000000", nTok2Sql, 17, 40009)} AS BIGINT) AS tok_sum, source
        |FROM documents WHERE doc_id % 13 = 6""".stripMargin
+
+  /** MoR delete + re-insert oracle: n_tok > 512 in the seed is exactly the
+    * doc_id % 100 = 0 long-doc stratum (16 + n_chars%497 caps at 512); those
+    * docs survive only as their re-inserted (17, 40009) payloads. */
+  val deleteMorOracle: String =
+    s"""SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source
+       |  FROM (SELECT doc_id, $nTokSql AS n_tok, source FROM documents) WHERE doc_id % 100 <> 0
+       |UNION ALL
+       |SELECT doc_id, $nTok2Sql AS n_tok,
+       |  CAST(${tokSumSql("doc_id", nTok2Sql, 17, 40009)} AS BIGINT) AS tok_sum, source
+       |FROM documents WHERE doc_id % 100 = 0""".stripMargin
 
   val migrationsOracle: String =
     s"""SELECT doc_id, n_tok, tok_sum, source, CAST(NULL AS DOUBLE) AS q FROM ($baseOracle)

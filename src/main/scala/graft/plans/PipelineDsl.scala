@@ -54,6 +54,10 @@ case object RemoveOrphansStep extends PipelineStep { def name = "remove_orphans"
 final case class DeleteWhereStep(pred: Maintenance.DeletePredicate) extends PipelineStep {
   def name = "delete_where"
 }
+final case class DeleteWhereMorStep(pred: Maintenance.DeletePredicate) extends PipelineStep {
+  def name = "delete_where_mor"
+}
+case object MaterializeDeletesStep extends PipelineStep { def name = "materialize_deletes" }
 final case class MergeStep(rule: CreationRule.Value) extends PipelineStep { def name = "merge" }
 final case class SchemaStep(op: SchemaOp) extends PipelineStep { def name = "schema" }
 
@@ -131,6 +135,13 @@ object PipelineDsl {
         else if (args.contains("n_tok_gt"))
           DeleteWhereStep(Maintenance.NTokGreaterThan(int("n_tok_gt", 0)))
         else DeleteWhereStep(Maintenance.DocIdBetween(str("doc_id_lo"), str("doc_id_hi")))
+      case "delete_where_mor" =>
+        if (args.contains("source_in"))
+          DeleteWhereMorStep(Maintenance.SourceIn(cols("source_in", Seq.empty).toSet))
+        else if (args.contains("n_tok_gt"))
+          DeleteWhereMorStep(Maintenance.NTokGreaterThan(int("n_tok_gt", 0)))
+        else DeleteWhereMorStep(Maintenance.DocIdBetween(str("doc_id_lo"), str("doc_id_hi")))
+      case "materialize_deletes" => MaterializeDeletesStep
       case "merge" =>
         val rule = args.get("rule").map(_.toString).getOrElse("eager") match {
           case "eager"      => CreationRule.Eager
@@ -268,6 +279,10 @@ object PipelineRunner {
         case RemoveOrphansStep =>
           (None, Map("removed" -> table.removeOrphans().size.toString))
         case DeleteWhereStep(pred) => (Maintenance.deleteWhere(spark, table, pred), Map.empty)
+        case DeleteWhereMorStep(pred) =>
+          (Maintenance.deleteWhereMor(spark, table, pred), Map.empty)
+        case MaterializeDeletesStep =>
+          (Maintenance.materializeDeletes(spark, table), Map.empty)
         case MergeStep(rule) =>
           val batch = mergeBatch.getOrElse(sys.error("merge step needs a batch DataFrame"))
           (Some(Maintenance.mergeInto(spark, table, batch, rule)), Map.empty)

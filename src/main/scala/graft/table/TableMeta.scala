@@ -38,8 +38,16 @@ final case class DataFileMeta(
     maxZKey: Option[Long] = None,
     schemaId: Option[Int] = None, // schema version at write time; None = 0
     minSource: Option[String] = None, // footer min/max when `sources` is inexact
-    maxSource: Option[String] = None) {
+    maxSource: Option[String] = None,
+    // Data sequence number (Iceberg-style): the snapshot id of the commit
+    // that ADDED this file. An equality-delete file applies only to data
+    // files with a strictly smaller sequence — a row re-inserted after the
+    // delete lands in a higher-sequence file and survives. None (files
+    // written before merge-on-read existed) reads as 0: every delete is
+    // newer than such files, so applying it is exactly right.
+    addedSeq: Option[Long] = None) {
   def schemaIdOr0: Int = schemaId.getOrElse(0)
+  def seqOr0: Long = addedSeq.getOrElse(0L)
 
   /** May this file contain a row whose source is in `target`? (pruning-safe:
     * returns true when stats can't prove otherwise) */
@@ -92,9 +100,16 @@ final case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
     timestampMs: Long,
-    operation: String, // append | compact | cluster | merge | delete | expire | rewrite-manifests
+    operation: String, // append | compact | cluster | merge | delete | delete-mor | expire | rewrite-manifests
     manifests: Seq[ManifestMeta],
-    summary: Map[String, String])
+    summary: Map[String, String],
+    // Merge-on-read equality-delete manifests (absent before the feature and
+    // on snapshots with no pending deletes). Each entry lists delete key
+    // files — parquet of doc_id keys — whose addedSeq is the delete's
+    // sequence number; a delete applies to data files with a smaller seq.
+    deleteManifests: Option[Seq[ManifestMeta]] = None) {
+  def deletes: Seq[ManifestMeta] = deleteManifests.getOrElse(Seq.empty)
+}
 
 final case class TableMetadata(
     formatVersion: Int,

@@ -106,6 +106,18 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     }
   }
 
+  /** Equality-delete key entries pending on a snapshot (merge-on-read). */
+  def deleteEntries(s: Snapshot): Seq[DataFileMeta] =
+    s.deletes.flatMap(m => TableJson.readManifest(readString(fs, new Path(metadataDir, m.path))))
+
+  private def deletesOf(snapshotId: Option[Long]): Seq[DataFileMeta] = {
+    val snap = snapshotId match {
+      case Some(id) => meta.snapshot(id)
+      case None     => meta.currentSnapshot
+    }
+    snap.map(deleteEntries).getOrElse(Seq.empty)
+  }
+
   def scan(
       spark: SparkSession,
       snapshotId: Option[Long] = None,
@@ -113,7 +125,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       sourceIn: Option[Set[String]] = None,
       nTokRange: Option[(Int, Int)] = None): DataFrame = {
     val files = planFiles(snapshotId, docIdRange, sourceIn, nTokRange)
-    readFiles(spark, files)
+    readFiles(spark, files, deletesOf(snapshotId))
   }
 
   /** Read data files, projecting every file into the *current* schema by
@@ -121,9 +133,52 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * schema version keep their physical column names; we resolve each
     * current field to the physical name its id had at write time, or null
     * for columns added since. Single-schema tables take the fast path. */
-  def readFiles(spark: SparkSession, files: Seq[DataFileMeta]): DataFrame = {
+  def readFiles(spark: SparkSession, files: Seq[DataFileMeta]): DataFrame =
+    readFiles(spark, files, deletesOf(None))
+
+  /**
+   * Read data files with merge-on-read equality deletes applied: rows of a
+   * data file are dropped when their `doc_id` appears in a delete key file
+   * with a HIGHER sequence (TableMeta.addedSeq). Because every rewrite path
+   * (compact / cluster / MERGE) reads its victims through here, a rewrite
+   * can never resurrect deleted rows — the rewritten file gets a fresh
+   * higher sequence the old deletes no longer apply to, and the deleted rows
+   * were filtered on the way in (deletes materialize for free as files get
+   * touched). The anti-join build side is the delete key set — AQE
+   * broadcasts it when it fits, shuffles otherwise; no hint.
+   */
+  def readFiles(
+      spark: SparkSession, files: Seq[DataFileMeta],
+      deletes: Seq[DataFileMeta]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    if (deletes.nonEmpty) {
+      // Group data files by the set of deletes applying to them (distinct
+      // sequence tiers — few in practice: compaction collapses tiers), apply
+      // one anti-join per tier, union. Delete key files whose doc range
+      // cannot intersect a tier's files are pruned from that tier's key set.
+      val tiers = files.groupBy { f =>
+        deletes.filter(_.seqOr0 > f.seqOr0).map(_.path).toSet
+      }.toSeq.sortBy(_._1.size)
+      val frames = tiers.map { case (delPaths, fs0) =>
+        val plain = readFiles(spark, fs0, Seq.empty)
+        if (delPaths.isEmpty) plain
+        else {
+          val lo = fs0.map(_.minDocId).min
+          val hi = fs0.map(_.maxDocId).max
+          val applicable = deletes.filter(d =>
+            delPaths.contains(d.path) && d.maxDocId >= lo && d.minDocId <= hi)
+          if (applicable.isEmpty) plain
+          else {
+            val keys = spark.read
+              .schema(StructType(Seq(StructField("doc_id", StringType))))
+              .parquet(applicable.map(d => new Path(root, d.path).toString): _*)
+            plain.join(keys, Seq("doc_id"), "left_anti")
+          }
+        }
+      }
+      return frames.reduce(_.unionByName(_))
+    }
     val current = meta.schemaVersion(meta.schemaIdNow)
     val currentSchema = schema
     val groups = files.groupBy(_.schemaIdOr0).toSeq.sortBy(_._1)
@@ -196,6 +251,41 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     stats
   }
 
+  /** Stage equality-delete key files (merge-on-read): the distinct doc_id
+    * keys land as parquet under data/deletes/<jobId>. Returns entries with
+    * per-file doc ranges for scan-time pruning; NO snapshot is committed —
+    * callers pass the entries to commit(addDeletes = …). Cost is
+    * O(deleted keys), never O(table): the whole point of the MoR path. */
+  def stageDeleteKeys(keys: DataFrame, jobId: String): Seq[DataFileMeta] = {
+    val spark = keys.sparkSession
+    val stagingDir = new Path(dataDir, s"deletes/$jobId")
+    keys.select(col("doc_id").cast("string")).distinct()
+      .write.mode("errorifexists").parquet(stagingDir.toString)
+    val sizes: Map[String, Long] = {
+      val it = fs.listFiles(stagingDir, true)
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          buf += ((relativize(root, st.getPath), st.getLen))
+      }
+      buf.toMap
+    }
+    if (sizes.isEmpty) return Seq.empty
+    // Per-file ranges from one pass over the (small, just-written) key set.
+    spark.read.schema(StructType(Seq(StructField("doc_id", StringType))))
+      .parquet(stagingDir.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect().toSeq.map { r =>
+        val rel = relativize(root, new Path(new java.net.URI(r.getString(0)).getPath))
+        DataFileMeta(
+          path = rel, records = r.getLong(1), bytes = sizes.getOrElse(rel, 0L),
+          minDocId = r.getString(2), maxDocId = r.getString(3),
+          minNTok = 0, maxNTok = 0, sumNTok = 0L, sources = Seq.empty)
+      }
+  }
+
   def writeManifest(files: Seq[DataFileMeta]): ManifestMeta = {
     val name = s"manifest-${UUID.randomUUID()}.json"
     writeString(fs, new Path(metadataDir, name), TableJson.write(files))
@@ -223,11 +313,14 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       replaced: Set[String] = Set.empty,
       summary: Map[String, String] = Map.empty,
       retries: Int = 5,
-      replacedRange: Option[(String, String)] = None): Snapshot = {
+      replacedRange: Option[(String, String)] = None,
+      addDeletes: Seq[DataFileMeta] = Seq.empty,
+      dropDeletePaths: Set[String] = Set.empty): Snapshot = {
     var attempt = 0
     while (true) {
       val base = refresh()
       val parent = base.currentSnapshot
+      val snapId = base.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
       def mustRead(m: ManifestMeta): Boolean =
         replaced.nonEmpty && replacedRange.forall { case (lo, hi) => m.mayIntersect(lo, hi) }
       // Validation happens inline with the carry-forward pass: every replaced
@@ -253,9 +346,28 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       if (missing.nonEmpty)
         throw new CommitConflictException(
           s"files no longer live (concurrently rewritten): ${missing.take(5).mkString(", ")}")
-      val newManifests = if (added.nonEmpty) carried :+ writeManifest(added) else carried
+      // Data files are stamped with the committing snapshot's id as their
+      // sequence number (merge-on-read delete applicability; TableMeta).
+      val stamped = added.map(_.copy(addedSeq = Some(snapId)))
+      val newManifests = if (added.nonEmpty) carried :+ writeManifest(stamped) else carried
+      // Delete manifests: carry the parent's forward (minus dropped key
+      // files), append a manifest for newly-staged delete keys.
+      val carriedDeletes: Seq[ManifestMeta] = parent.toSeq.flatMap(_.deletes).flatMap { m =>
+        if (dropDeletePaths.isEmpty) Some(m)
+        else {
+          val entries = TableJson.readManifest(readString(fs, new Path(metadataDir, m.path)))
+          val kept = entries.filterNot(e => dropDeletePaths.contains(e.path))
+          if (kept.size == entries.size) Some(m)
+          else if (kept.isEmpty) None
+          else Some(writeManifest(kept))
+        }
+      }
+      val newDeletes = carriedDeletes ++
+        (if (addDeletes.nonEmpty)
+          Seq(writeManifest(addDeletes.map(_.copy(addedSeq = Some(snapId)))))
+        else Seq.empty)
       val snap = Snapshot(
-        snapshotId = base.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1,
+        snapshotId = snapId,
         parentId = parent.map(_.snapshotId),
         timestampMs = Clock.nowMs(),
         operation = operation,
@@ -263,7 +375,8 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         summary = summary ++ Map(
           "added-files" -> added.size.toString,
           "removed-files" -> replaced.size.toString,
-          "added-records" -> added.map(_.records).sum.toString))
+          "added-records" -> added.map(_.records).sum.toString),
+        deleteManifests = if (newDeletes.nonEmpty) Some(newDeletes) else None)
       val next = base.withSnapshot(snap)
       if (tryCommitVersion(currentVersion() + 1, next)) {
         meta = next
@@ -294,7 +407,8 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         timestampMs = Clock.nowMs(),
         operation = operation,
         manifests = manifests,
-        summary = Map("manifests" -> manifests.size.toString))
+        summary = Map("manifests" -> manifests.size.toString),
+        deleteManifests = parent.deleteManifests)
       val next = base.withSnapshot(snap)
       if (tryCommitVersion(currentVersion() + 1, next)) { meta = next; return snap }
       attempt += 1
@@ -344,8 +458,14 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * reachable from a retained snapshot (ScalaCheck-tested invariant). */
   def removeOrphans(): Seq[String] = {
     refresh()
-    val reachableData: Set[String] = meta.snapshots.flatMap(manifestEntries).map(_.path).toSet
-    val reachableManifests: Set[String] = meta.snapshots.flatMap(_.manifests.map(_.path)).toSet
+    // Delete key files live under data/ and their manifests under metadata/:
+    // both are reachable exactly like data files, or GC would corrupt every
+    // snapshot that still needs a pending delete applied.
+    val reachableData: Set[String] =
+      meta.snapshots.flatMap(manifestEntries).map(_.path).toSet ++
+        meta.snapshots.flatMap(deleteEntries).map(_.path)
+    val reachableManifests: Set[String] =
+      meta.snapshots.flatMap(s => s.manifests ++ s.deletes).map(_.path).toSet
     val deadData = listDataFiles().filterNot(reachableData.contains)
     deadData.foreach(deleteDataFile)
     val deadManifests = fs.listStatus(metadataDir).toSeq
@@ -358,7 +478,8 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   /** Files present in data/ but unreachable from any retained snapshot. */
   def orphanFiles(): Seq[String] = {
     val reachable: Set[String] =
-      meta.snapshots.flatMap(manifestEntries).map(_.path).toSet
+      meta.snapshots.flatMap(manifestEntries).map(_.path).toSet ++
+        meta.snapshots.flatMap(deleteEntries).map(_.path)
     listDataFiles().filterNot(reachable.contains)
   }
 

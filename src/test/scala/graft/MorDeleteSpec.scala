@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.gen.SequenceGen
+import graft.maintenance.{Maintenance, SortBy}
+import graft.table.TokenTable
+
+/** Merge-on-read equality deletes: O(keys) commits, sequence-number
+  * semantics (re-insert after delete survives; rewrites never resurrect),
+  * materialization, GC safety, and CoW/MoR equivalence. */
+class MorDeleteSpec extends SparkSpec {
+
+  private def checksum(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("tokens"), col("n_tok")))).head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def fresh(n: Long = 3000, files: Int = 6): TokenTable =
+    SequenceGen.createTable(spark, tmpDir("mor") + "/tbl", n, files)
+
+  test("MoR delete stages keys only (no data rewrite), scan applies the anti-join") {
+    val t = fresh()
+    val before = t.liveFiles().map(_.path).toSet
+    val expected = checksum(t.scan(spark).filter(col("n_tok") <= 512))
+    val snap = Maintenance.deleteWhereMor(spark, t, Maintenance.NTokGreaterThan(512))
+    assert(snap.nonEmpty)
+    assert(t.liveFiles().map(_.path).toSet == before, "data files must be untouched")
+    assert(t.metadata.currentSnapshot.exists(_.deletes.nonEmpty))
+    assert(checksum(t.scan(spark)) == expected)
+  }
+
+  test("re-insert after MoR delete survives (higher sequence beats the delete)") {
+    val t = fresh()
+    Maintenance.deleteWhereMor(spark, t, Maintenance.NTokGreaterThan(512))
+    // re-insert two previously-deleted docs with short payloads
+    val deletedIds = SequenceGen.sequences(spark, 3000)
+      .filter(col("n_tok") > 512).select("doc_id").limit(2)
+      .collect().map(_.getString(0)).toSeq
+    assert(deletedIds.size == 2)
+    import spark.implicits._
+    val reins = deletedIds.toDF("doc_id")
+      .select(col("doc_id"), typedLit(Seq(1, 2, 3)).as("tokens"),
+        lit(3).cast("int").as("n_tok"), lit("web").as("source"))
+    t.commit("append", t.stageWrite(reins, "reinsert"))
+    val got = t.scan(spark).filter(col("doc_id").isin(deletedIds: _*))
+      .select("doc_id", "n_tok").collect()
+    assert(got.length == 2 && got.forall(_.getInt(1) == 3),
+      s"re-inserted rows must survive the older delete: ${got.toSeq}")
+  }
+
+  test("compaction reads through the delete (no resurrection) and time travel still works") {
+    val t = fresh()
+    val preDelete = t.metadata.currentSnapshotId.get
+    val expected = checksum(t.scan(spark).filter(col("n_tok") <= 512))
+    val all = checksum(t.scan(spark))
+    Maintenance.deleteWhereMor(spark, t, Maintenance.NTokGreaterThan(512))
+    // full rewrite WITHOUT materializeDeletes: victims read through the
+    // anti-join, rewritten files get fresh sequences — rows must not return
+    Maintenance.compact(spark, t, SortBy(Seq("doc_id")),
+      targetFileBytes = 4L * 1024 * 1024, smallFileThreshold = None)
+    assert(checksum(t.scan(spark)) == expected, "compaction resurrected deleted rows")
+    // the pre-delete snapshot still shows everything
+    assert(checksum(t.scan(spark, snapshotId = Some(preDelete))) == all)
+  }
+
+  test("materializeDeletes rewrites only affected files and retires every key file") {
+    val t = fresh()
+    val expected = checksum(t.scan(spark).filter(col("n_tok") <= 512))
+    Maintenance.deleteWhereMor(spark, t, Maintenance.NTokGreaterThan(512))
+    val snap = Maintenance.materializeDeletes(spark, t)
+    assert(snap.nonEmpty)
+    assert(t.metadata.currentSnapshot.forall(_.deletes.isEmpty))
+    assert(checksum(t.scan(spark)) == expected)
+    // idempotent: nothing pending
+    assert(Maintenance.materializeDeletes(spark, t).isEmpty)
+  }
+
+  test("GC never removes a delete key file a retained snapshot still needs") {
+    val t = fresh()
+    Maintenance.deleteWhereMor(spark, t, Maintenance.NTokGreaterThan(512))
+    val expected = checksum(t.scan(spark))
+    val removed = t.removeOrphans()
+    assert(!removed.exists(_.contains("deletes/")),
+      s"GC removed live delete key files: $removed")
+    assert(checksum(t.scan(spark)) == expected)
+  }
+
+  test("CoW deleteWhere and MoR deleteWhereMor agree row-for-row") {
+    val t1 = fresh(); val t2 = fresh()
+    Maintenance.deleteWhere(spark, t1, Maintenance.NTokGreaterThan(512))
+    Maintenance.deleteWhereMor(spark, t2, Maintenance.NTokGreaterThan(512))
+    assert(checksum(t1.scan(spark)) == checksum(t2.scan(spark)))
+    // and after materialization the MoR table is anti-join-free again
+    Maintenance.materializeDeletes(spark, t2)
+    assert(checksum(t1.scan(spark)) == checksum(t2.scan(spark)))
+  }
+}
