@@ -87,6 +87,7 @@ object SparkEntry {
     "ddp_components" -> (Q.ddpComponents _),
     "ddp_simhash" -> (Q.ddpSimhash _),
     "ddp_incremental" -> (Q.ddpIncremental _),
+    "ddp_decontaminate" -> (Q.ddpDecontaminate _),
     "ddp_embed_cosine_dup" -> (Q.ddpEmbedCosineDup _),
     // similarity search
     "ann_brute_topk" -> (Q.annBruteTopK _),
@@ -227,6 +228,13 @@ object SparkEntry {
         |FROM documents b WHERE doc_id >= 250
         |  AND NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id < 250 AND c.text = b.text)
         |GROUP BY text""".stripMargin,
+    "ddp_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-4, 0)+1),
+        |       i -> array_to_string(ws[i:least(i+3, len(ws))], ' '))) AS gs FROM w),
+        |ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 13),
+        |corp AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 13)
+        |SELECT doc_id, count(*) AS matched_ngrams FROM corp JOIN ev USING (gram) GROUP BY doc_id""".stripMargin,
     "ddp_jaccard_pairs" ->
       """WITH ws AS (SELECT doc_id, lang, source, list_distinct(string_split(lower(trim(text)), ' ')) AS w FROM documents WHERE doc_id < 300)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -549,6 +549,18 @@ object QueryCatalog {
       corpus = docs.filter(col("doc_id") < 250))
   }
 
+  /** Benchmark decontamination: docs sharing any word 4-gram with the
+    * pseudo eval set (doc_id % 97 = 13). n=4 because the synthetic corpus
+    * draws from a tiny vocabulary; production text uses 8–13. */
+  def ddpDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    DedupOps.decontaminate(
+      corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 13),
+      evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 13),
+      n = 4)
+      .select(col("id").as("doc_id"), col("matched_ngrams"))
+  }
+
   def ddpSimhash(s: SparkSession, dir: String): DataFrame =
     DedupOps.simHashed(tbl(s, dir, "documents").filter(col("doc_id") < 200))
 

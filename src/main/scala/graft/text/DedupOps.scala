@@ -117,6 +117,35 @@ object DedupOps {
       .select(col("id"), shingleHashesFromStates(col("_ws"), n).as("hp"))
 
   /**
+   * Benchmark decontamination: flag corpus documents sharing any word
+   * n-gram with an evaluation set — the published GPT-3/Gopher recipe
+   * (Brown et al. 2020 §C; Rae et al. 2021), where n is 8–13 for natural
+   * text (tests here use a smaller n only because the synthetic corpus
+   * draws from a ~30-word vocabulary). Both sides reduce to their distinct
+   * word-n-gram double-hash sets (each corpus character hashed once, via
+   * [[shingleHashed]]'s word-level polynomial composition); the flag is one
+   * equi-join carrying only (id, h1, h2) through the exchange — the text
+   * never shuffles — then a per-doc count of distinct matched n-grams.
+   * Scale: |corpus n-grams| rows of ~24 B against |eval n-grams| (eval sets
+   * are tiny — AQE broadcasts them); contaminated docs then semi-join back
+   * for removal, exactly like the near-dup pipelines.
+   */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) = shingleHashed(df, n, idCol, textCol)
+      .select(col("id"), explode(array_distinct(col("hp"))).as("s"))
+      .select(col("id"), col("s.h1").as("h1"), col("s.h2").as("h2"))
+    grams(corpus)
+      .join(grams(evalSet).drop("id").distinct(), Seq("h1", "h2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("matched_ngrams"))
+  }
+
+  /**
    * Pairwise n-gram Jaccard similarity over candidate pairs sharing a join
    * key (e.g. same language+source). Self-join stays bounded because the
    * caller picks the blocking key; returns (id_a, id_b, jaccard) with a<b.
