@@ -262,8 +262,9 @@ object MaintPipelines {
 
   /**
    * Merge-on-read delete end-to-end with sequence-number semantics:
-   * MoR-delete the 1%-of-rows-scattered-in-every-file stratum (n_tok > 4096
-   * long docs ⇔ doc_id % 100 = 0) — the commit must stage ONLY key files,
+   * MoR-delete the 1%-of-rows-scattered-in-every-file stratum (n_tok > 512,
+   * which in the seed is exactly the +4096 long docs, doc_id % 100 = 0 —
+   * the short strata cap at 16 + 496 = 512) — the commit must stage ONLY key files,
    * never rewrite data (asserted); re-insert the same doc ids with fresh
    * payloads — a higher-sequence append the pending delete must NOT touch;
    * then force-materialize, which rewrites only affected files and retires

@@ -175,6 +175,35 @@ object QueryCatalog {
     * windows emit in append mode once the watermark (max event time − 1h)
     * passes the window end. The driver's oracle reproduces the emission rule
     * relationally. */
+  // ------------------------- shared stream-replay harness helpers --------
+  // NTZ has no direct long cast — go through timestamp (UTC session).
+  private def tsSec(c: Column): Column = c.cast("timestamp").cast("long")
+
+  /** (min, max) epoch-second bounds of a ts column; refuses an empty table
+    * (the probe row would hold nulls and NPE on the long extraction). */
+  private def tsBounds(df: DataFrame, ts: String): (Long, Long) = {
+    val r = df.agg(min(tsSec(col(ts))), max(tsSec(col(ts)))).head()
+    require(!r.isNullAt(0), "tsBounds: empty events table")
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Run a streaming frame to completion into a memory sink. The state-store
+    * partition count is pinned from shuffle.partitions at query start; 32
+    * state partitions x a handful of micro-batches over a small replay is
+    * pure per-batch overhead, so the harness scopes it to 8 — the operator
+    * itself is partition-count agnostic. */
+  private def runToMemorySink(s: SparkSession, df: DataFrame, prefix: String): DataFrame = {
+    val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(sink)
+  }
+
   def streamWindowCounts(s: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
     // Cache for the replay prep: the min/max probe and the four bucket
@@ -188,11 +217,7 @@ object QueryCatalog {
     // any ts-ordered split yields the same append output, because ordered
     // arrival means no event is ever late and the final watermark depends
     // only on the global max ts.
-    // NTZ has no direct long cast — go through timestamp (UTC session)
-    val tsSec = (c: Column) => c.cast("timestamp").cast("long")
-    val Array(tsMin, tsMax) = events
-      .agg(min(tsSec(col("ts"))), max(tsSec(col("ts"))))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (tsMin, tsMax) = tsBounds(events, "ts")
     val span = math.max(tsMax - tsMin + 1, 4L)
     val bucketed = events.withColumn("_b",
       least(floor((tsSec(col("ts")) - lit(tsMin)) * 4.0 / span), lit(3.0)).cast("int"))
@@ -213,19 +238,7 @@ object QueryCatalog {
     val counts = graft.streaming.Stateful.windowedCounts(
       stream, tsCol = "ts", keyCol = "event_type",
       watermarkDelay = "1 hour", windowDuration = "1 day")
-    val sink = "win_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // The state-store partition count is pinned from shuffle.partitions at
-    // query start; 32 state partitions x 5+ micro-batches over a ~10k-event
-    // replay is pure per-batch overhead. 8 is a harness choice for the
-    // replay; the operator itself is partition-count agnostic.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = counts.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table(sink)
+    runToMemorySink(s, counts, "win_counts_")
   }
 
   /** Streaming exactly-once dedup under at-least-once delivery: batch 1 is
@@ -239,10 +252,7 @@ object QueryCatalog {
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Files.createTempDirectory("graft-stream-ddp").toString
     val events = tbl(s, dir, "events").persist()
-    val tsSec = (c: Column) => c.cast("timestamp").cast("long")
-    val Array(tsMin, tsMax) = events
-      .agg(min(tsSec(col("ts"))), max(tsSec(col("ts"))))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (tsMin, tsMax) = tsBounds(events, "ts")
     val delay = s"${tsMax - tsMin + 3600} seconds"
     events.repartition(1).write.mode("overwrite").parquet(s"$src/b1")
     events.filter(pmod(col("event_id"), lit(5)) === 3)
@@ -255,15 +265,7 @@ object QueryCatalog {
     val deduped = graft.streaming.Stateful.streamingDedup(
       stream, keyCols = Seq("event_id"), tsCol = "ts", watermarkDelay = delay)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val sink = "ddp_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table(sink)
+    runToMemorySink(s, deduped, "ddp_stream_")
   }
 
   // =================================================== §2.3 transformers

@@ -198,7 +198,7 @@ final case class MigrationGraph(byName: Map[String, Migration]) {
   def orderedPlan(completed: Set[String]): Seq[Migration] = {
     val replacementIndex: Map[String, Migration] =
       all.flatMap(m => m.replaces.map(_ -> m)).toMap
-    topologicalOrder.filter { m =>
+    val selected = topologicalOrder.filter { m =>
       if (completed.contains(m.name)) false
       else replacementIndex.get(m.name) match {
         case Some(squash) =>
@@ -209,6 +209,31 @@ final case class MigrationGraph(byName: Map[String, Migration]) {
           !(m.isSquashed && m.replaces.exists(completed.contains))
       }
     }
+    // The raw topological order is not sufficient once a squash stands in
+    // for its members: a migration depending on a replaced member must run
+    // AFTER the stand-in squash, but no graph edge says so (the dependency
+    // edge points at the skipped member). Re-order the selected set over
+    // EFFECTIVE dependencies — a dependency on a skipped member resolves to
+    // the squash that will run in its place.
+    val byNameSel = selected.map(m => m.name -> m).toMap
+    def effDeps(m: Migration): Seq[String] = m.dependencies.flatMap { d =>
+      if (byNameSel.contains(d)) Some(d)
+      else replacementIndex.get(d).map(_.name).filter(byNameSel.contains)
+    }.distinct
+    val order = scala.collection.mutable.ArrayBuffer[Migration]()
+    val done = scala.collection.mutable.Set[String]()
+    val gray = scala.collection.mutable.Set[String]()
+    def visit(m: Migration): Unit = if (!done.contains(m.name)) {
+      if (gray.contains(m.name))
+        throw new IllegalStateException(
+          s"squash substitution creates a dependency cycle through '${m.name}'")
+      gray += m.name
+      effDeps(m).sorted.foreach(d => visit(byNameSel(d)))
+      gray -= m.name; done += m.name
+      order += m
+    }
+    selected.foreach(visit)
+    order.toSeq
   }
 
   /** Squash the contiguous topological span [from, to] (to = last when
@@ -249,14 +274,16 @@ object MigrationGraph {
 }
 
 /**
- * Executes a migration plan against a [[TokenTable]] and records completion
- * in `metadata/migrations.log` (one applied name per line) — the analogue of
+ * Executes a migration plan against a [[TokenTable]] — the analogue of
  * the reference's per-database migrator + completed-migration state provider
- * (reference nodestream/schema/migrations/migrator.py,
- * state_providers.py). Re-running is idempotent: applied names are excluded
- * from the next plan, and each migration's schema change is itself a
- * metadata-only versioned commit, so a crash between migrations resumes at
- * the first unapplied one.
+ * (reference nodestream/schema/migrations/migrator.py, state_providers.py).
+ * Each migration is applied AND recorded by [[TokenTable.applyMigration]] in
+ * one atomic metadata commit (the applied-name list lives in table
+ * properties, versioned with the schema itself), so a crash at any point
+ * resumes at the first unapplied migration and can never double-apply —
+ * there is no window between "schema changed" and "name recorded".
+ * `metadata/migrations.log` is still honored read-only for tables migrated
+ * by older engine versions.
  */
 object Migrator {
 
@@ -264,20 +291,17 @@ object Migrator {
     new Path(table.metadataDir, "migrations.log")
 
   def completed(table: TokenTable): Set[String] = {
-    val p = logPath(table)
-    if (!table.fs.exists(p)) Set.empty
-    else TokenTable.readString(table.fs, p).linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+    val legacy =
+      if (!table.fs.exists(logPath(table))) Set.empty[String]
+      else TokenTable.readString(table.fs, logPath(table))
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+    legacy ++ table.appliedMigrations()
   }
 
   /** Apply every outstanding migration in plan order; returns what ran. */
   def migrate(table: TokenTable, graph: MigrationGraph): Seq[Migration] = {
     val plan = graph.orderedPlan(completed(table))
-    plan.foreach { m =>
-      table.evolveSchema(m.operations)
-      val prior = completed(table)
-      TokenTable.writeString(table.fs, logPath(table),
-        (prior.toSeq.sorted :+ m.name).mkString("", "\n", "\n"), overwrite = true)
-    }
+    plan.foreach(m => table.applyMigration(m.name, m.operations))
     plan
   }
 }

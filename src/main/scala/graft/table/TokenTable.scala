@@ -233,6 +233,59 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     throw new CommitConflictException(s"evolveSchema lost commit race at $root")
   }
 
+  /** Table-property key holding the JSON list of applied migration names. */
+  private val AppliedMigrationsKey = "applied-migrations"
+
+  def appliedMigrations(): Set[String] = {
+    val m = refresh()
+    m.properties.get(AppliedMigrationsKey) match {
+      case None    => Set.empty
+      case Some(j) =>
+        implicit val f: org.json4s.Formats = TableJson.formats
+        org.json4s.jackson.JsonMethods.parse(j).extract[Seq[String]].toSet
+    }
+  }
+
+  /**
+   * Apply a named migration's (already reduced or raw) ops and record the
+   * name — ONE atomic metadata commit, so a crash can never leave the
+   * schema change applied but unrecorded (the double-apply window a
+   * separate side-channel log would have). Recording works for no-op
+   * migrations too. Idempotent: an already-recorded name returns without
+   * touching anything.
+   */
+  def applyMigration(name: String, ops: Seq[SchemaOp]): TableMetadata = {
+    val reduced = SchemaEvolution.reduce(ops)
+    var attempt = 0
+    while (attempt < 5) {
+      val base = refresh()
+      val applied: Seq[String] = base.properties.get(AppliedMigrationsKey) match {
+        case None    => Seq.empty
+        case Some(j) =>
+          implicit val f: org.json4s.Formats = TableJson.formats
+          org.json4s.jackson.JsonMethods.parse(j).extract[Seq[String]]
+      }
+      if (applied.contains(name)) return base
+      val withSchema =
+        if (reduced.isEmpty) base
+        else {
+          val cur = base.schemaVersion(base.schemaIdNow)
+          val curSchema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+          val (newSchema, newIds) = SchemaEvolution.applyOps(curSchema, cur.fieldIds, reduced)
+          val newVer = SchemaVersion(base.schemaIdNow + 1, newSchema.json, newIds)
+          base.copy(
+            schemaJson = newSchema.json,
+            currentSchemaId = Some(newVer.schemaId),
+            schemaLog = Some(base.schemas :+ newVer))
+        }
+      val next = withSchema.copy(properties = withSchema.properties +
+        (AppliedMigrationsKey -> TableJson.write(applied :+ name)))
+      if (tryCommitVersion(currentVersion() + 1, next)) { meta = next; return next }
+      attempt += 1
+    }
+    throw new CommitConflictException(s"applyMigration($name) lost commit race at $root")
+  }
+
   // ---------------------------------------------------------------- writing
 
   /** Stage a DataFrame into data/ under a unique job prefix; returns file metas

@@ -73,34 +73,13 @@ object Curation {
         coalesce(col(nCol).cast("long"), lit(0L)).as("_n"))
       .repartitionByRange(parts, col("_score").desc, col(idCol))
       .sortWithinPartitions(col("_score").desc, col(idCol))
-    // ONE .rdd shared by both passes — two .rdd calls could sample
-    // different range bounds (see SequencePack.globalTokenOffsets).
-    val sortedRdd = sorted.rdd
-
-    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): the latter
-    // is the TASK's id, which collapses to 0 if a caller coalesce()s the
-    // result — every partition would then restart its cumsum at base 0.
-    // The index argument is the parent split index however tasks are fused.
-    val totals: Array[(Int, Long)] = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      it.foreach(r => s += r.getLong(2))
-      Iterator((pid, s))
-    }.collect()
-    val prefix: Map[Int, Long] = {
-      var acc = 0L
-      totals.sortBy(_._1).map { case (pid, s) => val p = (pid, acc); acc += s; p }.toMap
-    }
-    val prefixBc = spark.sparkContext.broadcast(prefix)
-
-    val rows = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = prefixBc.value.getOrElse(pid, 0L)
-      it.flatMap { r =>
+    // shared two-pass distributed prefix sum (single pinned partitioner,
+    // coalesce-safe partition ids — see SequencePack.runningOffsets)
+    val rows = graft.text.SequencePack.runningOffsets(sorted, nIdx = 2).flatMap {
+      case (r, off) =>
         val n = r.getLong(2)
-        val off = acc
-        acc += n
         // whole-document greedy fill: a doc is in iff it fits entirely
         if (n > 0 && off + n <= budget) Some(Row(r.get(0), n)) else None
-      }
     }
     val schema = StructType(sorted.schema.fields.take(1)).add("n", LongType, nullable = false)
     spark.createDataFrame(rows, schema)

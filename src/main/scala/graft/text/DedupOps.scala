@@ -39,9 +39,18 @@ object DedupOps {
       idCol: String = "doc_id"): DataFrame = {
     def key(df: DataFrame) = df.select(
       xxhash64(col(textCol), lit(1)).as("_h1"), xxhash64(col(textCol), lit(2)).as("_h2"),
-      col(idCol))
-    key(batch)
-      .join(key(corpus).drop(idCol).distinct(), Seq("_h1", "_h2"), "left_anti")
+      col(idCol), col(textCol).isNull.as("_tnull"))
+    // SQL equality semantics for NULL text: `c.text = b.text` never matches
+    // NULL, so null-text batch rows bypass the anti-join (xxhash64 skips a
+    // null child, which would otherwise equate all NULL texts with each
+    // other); GROUP BY, by contrast, DOES collapse NULLs together — which
+    // the hash grouping reproduces since all null rows share the seed-only
+    // hash pair.
+    val keyedBatch = key(batch)
+    val corpusKeys = key(corpus).filter(!col("_tnull")).select("_h1", "_h2").distinct()
+    keyedBatch.filter(!col("_tnull"))
+      .join(corpusKeys, Seq("_h1", "_h2"), "left_anti")
+      .unionByName(keyedBatch.filter(col("_tnull")))
       .groupBy(col("_h1"), col("_h2"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("dup_count"))
@@ -209,7 +218,9 @@ object DedupOps {
     // BELOW the projections, inlining the whole interpreted hash pipeline
     // into the Filter condition with `_ws` re-evaluated per window
     // (a measured ~10x regression). Empty texts hash to the ""-shingle
-    // pair and are later dropped by the null-Jaccard verify, as before.
+    // pair; two empty docs verify at jaccard 1.0 ([""] ∩ [""] / [""] ∪ [""])
+    // and ARE emitted as a pair — matching the string-shingle oracle
+    // (spec-pinned in DedupSpec).
     val sigs = shingleHashed(docs, shingleN, idCol, textCol)
       .select(col("id") +: minHashes(col("hp"), k): _*)
     val banded = sigs.select(

@@ -39,43 +39,55 @@ object SequencePack {
     val sorted = docs.select(col(idCol), coalesce(col(nCol).cast("long"), lit(0L)).as("_n"))
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(idCol)
-    // ONE .rdd translation shared by both passes: each .rdd call would plan
-    // its own range exchange, and two independently-sampled partitioners
-    // could disagree on boundaries — pass 1's totals would then describe
-    // different partitions than pass 2 reads. Sharing the RDD pins one
-    // partitioner and lets the second job reuse the first's shuffle output.
-    val sortedRdd = sorted.rdd
-
-    // pass 1: per-partition totals — one row per partition.
-    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): the latter
-    // is the TASK's id, which collapses to 0 if a caller coalesce()s the
-    // result — every partition would then restart its cumsum at base 0.
-    // The index argument is the parent split index however tasks are fused.
-    val totals: Array[(Int, Long)] = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      it.foreach(r => s += r.getLong(1))
-      Iterator((pid, s))
-    }.collect()
-    val prefix: Map[Int, Long] = {
-      val byPid = totals.sortBy(_._1)
-      var acc = 0L
-      byPid.map { case (pid, s) => val p = (pid, acc); acc += s; p }.toMap
-    }
-    val prefixBc = spark.sparkContext.broadcast(prefix)
-
-    // pass 2: partition-local running offsets starting at the broadcast base
-    val rows = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = prefixBc.value.getOrElse(pid, 0L)
-      it.map { r =>
-        val off = acc
-        acc += r.getLong(1)
-        Row(r.get(0), r.getLong(1), off)
-      }
+    val rows = runningOffsets(sorted, nIdx = 1).map { case (r, off) =>
+      Row(r.get(0), r.getLong(1), off)
     }
     val schema = StructType(sorted.schema.fields.take(1))
       .add("n_tok", LongType, nullable = false)
       .add("tok_offset", LongType, nullable = false)
     spark.createDataFrame(rows, schema)
+  }
+
+  /**
+   * The distributed two-pass prefix sum shared by sequence packing and
+   * token-budget selection: rows of an ALREADY range-partitioned,
+   * partition-sorted frame zipped with the running global offset of the
+   * long column at `nIdx`. Pass 1 collects per-partition totals (one row
+   * per partition — metadata-scale); their exclusive prefix is broadcast as
+   * each partition's base for pass 2.
+   *
+   * ONE `.rdd` translation is shared by both passes: each `.rdd` call would
+   * plan its own range exchange, and two independently-sampled partitioners
+   * could disagree on boundaries — pass 1's totals would then describe
+   * different partitions than pass 2 reads. Sharing the RDD pins one
+   * partitioner and lets the second job reuse the first's shuffle output.
+   *
+   * `mapPartitionsWithIndex`, NOT `TaskContext.getPartitionId()`: the
+   * latter is the TASK's id, which collapses to 0 if a caller coalesce()s
+   * the result — every partition would then restart its cumsum at base 0.
+   * The index argument is the parent split index however tasks are fused.
+   */
+  private[text] def runningOffsets(
+      sorted: DataFrame, nIdx: Int): org.apache.spark.rdd.RDD[(Row, Long)] = {
+    val sortedRdd = sorted.rdd
+    val totals: Array[(Int, Long)] = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(nIdx))
+      Iterator((pid, s))
+    }.collect()
+    val prefix: Map[Int, Long] = {
+      var acc = 0L
+      totals.sortBy(_._1).map { case (pid, s) => val p = (pid, acc); acc += s; p }.toMap
+    }
+    val prefixBc = sorted.sparkSession.sparkContext.broadcast(prefix)
+    sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = prefixBc.value.getOrElse(pid, 0L)
+      it.map { r =>
+        val off = acc
+        acc += r.getLong(nIdx)
+        (r, off)
+      }
+    }
   }
 
   /**

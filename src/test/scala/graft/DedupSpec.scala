@@ -34,6 +34,20 @@ class DedupSpec extends SparkSpec {
     "a b", "MIXED Case\nnewline", "  double  spaces  ", "ß İ I STRASSE"
   ).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
 
+  test("dedupAgainst NULL text follows SQL semantics: never matches corpus, groups together") {
+    // `c.text = b.text` never matches NULL, so a null-text batch doc must
+    // survive the anti-join even when the corpus also holds null text —
+    // while GROUP BY (which DOES collapse NULLs) keeps min-id-per-group.
+    val batch = Seq((10L, null: String), (11L, null: String), (12L, "shared"))
+      .toDF("doc_id", "text")
+    val corp = Seq((1L, null: String), (2L, "shared")).toDF("doc_id", "text")
+    val out = DedupOps.dedupAgainst(batch, corp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "shared" exists in the corpus -> dropped; the two null-text docs
+    // survive and collapse into one GROUP BY group (min id 10, count 2)
+    assert(out == Set((10L, 2L)), s"got $out")
+  }
+
   test("native hash expressions == columnar reference folds on nasty strings") {
     // WordHashStates vs the pure-column per-char fold
     val states = nastyCorpus.select(col("doc_id"),

@@ -69,6 +69,43 @@ class MigrationsSpec extends SparkSpec {
     assert(g.orderedPlan(Set("m1_add_quality", "s_2_4")).isEmpty)
   }
 
+  test("plan orders a dependent of a replaced member AFTER the stand-in squash") {
+    // m1 <- m2 <- m3_dependent, squash s_2 replaces {m2}. On a clean slate
+    // the plan substitutes s_2 for m2; m3_dependent's dependency edge points
+    // at the skipped m2, and its name sorts BEFORE s_2 — the raw topological
+    // order would run it first and apply ops against a schema that lacks
+    // m2's column. The effective-dependency reorder must put s_2 first.
+    val a1 = Migration("m1", Seq(AddColumn("quality", "DOUBLE")), Nil)
+    val a2 = Migration("m2", Seq(RenameColumn("quality", "q")), Seq("m1"))
+    val dep = Migration("m3_dependent", Seq(DropColumn("q")), Seq("m2"))
+    val sq = Migration.squash("s_2", Seq(a2))
+    val g = MigrationGraph.fromMigrations(Seq(a1, a2, dep, sq))
+    val plan = g.orderedPlan(Set.empty).map(_.name)
+    assert(plan.indexOf("s_2") >= 0 && plan.indexOf("s_2") < plan.indexOf("m3_dependent"),
+      s"squash must precede its members' dependents, got $plan")
+    // and the whole plan actually applies cleanly against a table
+    val t = TokenTable.create(spark, tmpDir("migplan"))
+    Migrator.migrate(t, g)
+    assert(!t.schema.fieldNames.contains("q") && !t.schema.fieldNames.contains("quality"))
+  }
+
+  test("applyMigration records name and schema change in ONE metadata commit (atomic, idempotent)") {
+    val t = TokenTable.create(spark, tmpDir("migatomic"))
+    val v0 = t.currentVersion()
+    t.applyMigration("m1_add_quality", Seq(AddColumn("quality", "DOUBLE")))
+    assert(t.currentVersion() == v0 + 1,
+      "apply + record must be one commit — no window where the schema changed but the name is unrecorded")
+    assert(t.appliedMigrations() == Set("m1_add_quality"))
+    assert(t.schema.fieldNames.contains("quality"))
+    // re-apply of a recorded name is a no-op, not a double-apply failure
+    val v1 = t.currentVersion()
+    t.applyMigration("m1_add_quality", Seq(AddColumn("quality", "DOUBLE")))
+    assert(t.currentVersion() == v1)
+    // a no-op migration still records completion
+    t.applyMigration("m_noop", Seq.empty)
+    assert(t.appliedMigrations().contains("m_noop"))
+  }
+
   test("directory round-trip loads the same graph") {
     val fs = new Path(tmpDir("migdir")).getFileSystem(
       spark.sessionState.newHadoopConf())
