@@ -75,6 +75,7 @@ object SparkEntry {
     "maint_schema_evolution" -> ((s, d) => MaintPipelines.schemaEvolutionRoundtrip(s, d)),
     "maint_migrations" -> ((s, d) => MaintPipelines.migrationsRoundtrip(s, d)),
     "maint_delete_mor" -> ((s, d) => MaintPipelines.deleteMorRoundtrip(s, d)),
+    "maint_wap" -> ((s, d) => MaintPipelines.wapRoundtrip(s, d)),
     "maint_incremental" -> ((s, d) => MaintPipelines.incrementalRoundtrip(s, d)),
     "maint_stream_append" -> ((s, d) => MaintPipelines.streamAppendRoundtrip(s, d)),
     "maint_stream_merge" -> ((s, d) => MaintPipelines.streamMergeRoundtrip(s, d)),
@@ -208,6 +209,7 @@ object SparkEntry {
     "maint_schema_evolution" -> MaintPipelines.schemaEvolutionOracle,
     "maint_migrations" -> MaintPipelines.migrationsOracle,
     "maint_delete_mor" -> MaintPipelines.deleteMorOracle,
+    "maint_wap" -> MaintPipelines.wapOracle,
     "maint_incremental" -> MaintPipelines.incrementalOracle,
     "maint_stream_append" -> MaintPipelines.streamAppendOracle,
     // micro-batched MERGE converges to the one-shot MERGE state (ops are

@@ -299,6 +299,37 @@ object MaintPipelines {
     verifiableScan(spark, t)
   }
 
+  /**
+   * Write-audit-publish: the ingest lands on an `audit` branch — main
+   * readers see NOTHING until the audit passes (asserted both ways) — then
+   * `fastForward` publishes the branch head atomically. The ancestry check
+   * in fastForward is the WAP contract: main cannot silently lose commits
+   * the branch never saw.
+   */
+  def wapRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    val baseCount = t.scan(spark).count()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val appended = docs.filter(pmod(col("doc_id"), lit(19)) === 7)
+      .select(
+        format_string("doc%012d", col("doc_id") + 40000000).as("doc_id"),
+        (col("doc_id") + 40000000).as("_id"),
+        (lit(8) + pmod(col("n_chars"), lit(61))).cast("int").as("n_tok"),
+        col("source"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), col("n_tok") - 1),
+          j => pmod(col("_id") * 17 + j, lit(40009)).cast("int")).as("tokens"),
+        col("n_tok"), col("source"))
+    t.commit("append", t.stageWrite(appended, "wap-append"), branch = Some("audit"))
+    require(t.scan(spark).count() == baseCount,
+      "unpublished audit branch leaked into the main line")
+    // the audit step: validate the staged state through the branch ref
+    require(t.scanRef(spark, "audit").count() > baseCount,
+      "audit branch is missing the staged batch")
+    t.fastForward("audit")
+    verifiableScan(spark, t)
+  }
+
   /** Reified migration DAG end-to-end (reference
     * nodestream/schema/migrations/migrations.py:10-270): migration YAML
     * artifacts on disk → [[graft.table.MigrationGraph]] → squash-aware
@@ -506,6 +537,15 @@ object MaintPipelines {
        |SELECT doc_id, $nTok2Sql AS n_tok,
        |  CAST(${tokSumSql("doc_id", nTok2Sql, 17, 40009)} AS BIGINT) AS tok_sum, source
        |FROM documents WHERE doc_id % 100 = 0""".stripMargin
+
+  /** WAP oracle: base plus the audited-then-published append
+    * (doc_id % 19 = 7 shifted by 40M, stream (17, 40009)). */
+  val wapOracle: String =
+    s"""$baseOracle
+       |UNION ALL
+       |SELECT doc_id + 40000000 AS doc_id, $nTok2Sql AS n_tok,
+       |  CAST(${tokSumSql("doc_id + 40000000", nTok2Sql, 17, 40009)} AS BIGINT) AS tok_sum, source
+       |FROM documents WHERE doc_id % 19 = 7""".stripMargin
 
   val migrationsOracle: String =
     s"""SELECT doc_id, n_tok, tok_sum, source, CAST(NULL AS DOUBLE) AS q FROM ($baseOracle)

@@ -111,6 +111,13 @@ final case class Snapshot(
   def deletes: Seq[ManifestMeta] = deleteManifests.getOrElse(Seq.empty)
 }
 
+/** A named snapshot reference (Iceberg-style): `tag` pins a snapshot
+  * immutably (a training job reads "prod" however much maintenance runs
+  * after it); `branch` is a movable head for write-audit-publish. */
+final case class SnapshotRef(snapshotId: Long, kind: String) {
+  require(kind == "tag" || kind == "branch", s"unknown ref kind '$kind'")
+}
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -121,7 +128,11 @@ final case class TableMetadata(
     properties: Map[String, String],
     // schema evolution (absent on v0 tables: single schema 0 inferred)
     currentSchemaId: Option[Int] = None,
-    schemaLog: Option[Seq[SchemaVersion]] = None) {
+    schemaLog: Option[Seq[SchemaVersion]] = None,
+    // named refs (absent before the feature existed)
+    refs: Option[Map[String, SnapshotRef]] = None) {
+
+  def refMap: Map[String, SnapshotRef] = refs.getOrElse(Map.empty)
 
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))

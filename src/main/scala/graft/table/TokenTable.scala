@@ -368,11 +368,17 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       retries: Int = 5,
       replacedRange: Option[(String, String)] = None,
       addDeletes: Seq[DataFileMeta] = Seq.empty,
-      dropDeletePaths: Set[String] = Set.empty): Snapshot = {
+      dropDeletePaths: Set[String] = Set.empty,
+      // Write-audit-publish: commit onto a named branch instead of the main
+      // line — the branch head is the parent, the main current snapshot is
+      // untouched, readers see nothing until fastForward() publishes.
+      branch: Option[String] = None): Snapshot = {
     var attempt = 0
     while (true) {
       val base = refresh()
-      val parent = base.currentSnapshot
+      val parent = branch.flatMap(b => base.refMap.get(b))
+        .flatMap(r => base.snapshot(r.snapshotId))
+        .orElse(base.currentSnapshot)
       val snapId = base.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
       def mustRead(m: ManifestMeta): Boolean =
         replaced.nonEmpty && replacedRange.forall { case (lo, hi) => m.mayIntersect(lo, hi) }
@@ -430,7 +436,12 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
           "removed-files" -> replaced.size.toString,
           "added-records" -> added.map(_.records).sum.toString),
         deleteManifests = if (newDeletes.nonEmpty) Some(newDeletes) else None)
-      val next = base.withSnapshot(snap)
+      val next = branch match {
+        case None => base.withSnapshot(snap)
+        case Some(b) => base.copy(
+          snapshots = base.snapshots :+ snap,
+          refs = Some(base.refMap + (b -> SnapshotRef(snap.snapshotId, "branch"))))
+      }
       if (tryCommitVersion(currentVersion() + 1, next)) {
         meta = next
         return snap
@@ -489,6 +500,62 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
    * Nodestream analogue: TTL deletes (reference nodestream/model/ttl.py:11-29)
    * applied to table history instead of graph objects.
    */
+  // -------------------------------------------------- refs / WAP / rollback
+
+  /** Create or move a named ref. Tags pin a published state for long-running
+    * readers (a training job reads `prod` however much maintenance commits
+    * after it); branches are movable write-audit-publish heads. */
+  def setRef(name: String, snapshotId: Long, kind: String = "tag"): TableMetadata =
+    updateMeta { base =>
+      require(base.snapshot(snapshotId).nonEmpty, s"unknown snapshot $snapshotId")
+      base.copy(refs = Some(base.refMap + (name -> SnapshotRef(snapshotId, kind))))
+    }
+
+  def removeRef(name: String): TableMetadata =
+    updateMeta(base => base.copy(refs = Some(base.refMap - name)))
+
+  def refSnapshotId(name: String): Long =
+    refresh().refMap.getOrElse(name,
+      throw new NoSuchElementException(s"no ref named '$name'")).snapshotId
+
+  /** Scan pinned to a named ref (tag or branch head). */
+  def scanRef(spark: SparkSession, name: String): DataFrame =
+    scan(spark, snapshotId = Some(refSnapshotId(name)))
+
+  /** Publish a branch: fast-forward the main line to the branch head. The
+    * current snapshot must be an ancestor of the head (no silent overwrite
+    * of main-line commits the branch never saw — the WAP contract). */
+  def fastForward(branch: String): TableMetadata =
+    updateMeta { base =>
+      val head = base.refMap.getOrElse(branch,
+        throw new NoSuchElementException(s"no ref named '$branch'"))
+      val ancestors = Iterator.iterate(base.snapshot(head.snapshotId))(
+        _.flatMap(_.parentId).flatMap(base.snapshot)).takeWhile(_.nonEmpty).flatten
+      val curId = base.currentSnapshotId
+      require(curId.isEmpty || ancestors.exists(s => curId.contains(s.snapshotId)),
+        s"cannot fast-forward: current snapshot $curId is not an ancestor of '$branch'")
+      base.copy(currentSnapshotId = Some(head.snapshotId))
+    }
+
+  /** Roll the main line back to an earlier snapshot (metadata-only; the
+    * abandoned snapshots stay in the log until expireSnapshots). */
+  def rollbackTo(snapshotId: Long): TableMetadata =
+    updateMeta { base =>
+      require(base.snapshot(snapshotId).nonEmpty, s"unknown snapshot $snapshotId")
+      base.copy(currentSnapshotId = Some(snapshotId))
+    }
+
+  private def updateMeta(f: TableMetadata => TableMetadata): TableMetadata = {
+    var attempt = 0
+    while (attempt < 5) {
+      val base = refresh()
+      val next = f(base)
+      if (tryCommitVersion(currentVersion() + 1, next)) { meta = next; return next }
+      attempt += 1
+    }
+    throw new CommitConflictException(s"metadata update lost commit race at $root")
+  }
+
   def expireSnapshots(retainLast: Int = 1, olderThanMs: Option[Long] = None): TableMetadata = {
     var attempt = 0
     while (attempt < 5) {
@@ -497,6 +564,9 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       val keepIds: Set[Long] =
         (byRecency.take(math.max(retainLast, 1)).map(_.snapshotId) ++
           base.currentSnapshotId.toSeq ++
+          // ref targets are pinned reader states — expiring them would break
+          // every job reading through the ref
+          base.refMap.values.map(_.snapshotId) ++
           olderThanMs.map(cut => base.snapshots.filter(_.timestampMs >= cut).map(_.snapshotId))
             .getOrElse(Seq.empty)).toSet
       val next = base.copy(snapshots = base.snapshots.filter(s => keepIds.contains(s.snapshotId)))
