@@ -58,6 +58,11 @@ final case class DeleteWhereMorStep(pred: Maintenance.DeletePredicate) extends P
   def name = "delete_where_mor"
 }
 case object MaterializeDeletesStep extends PipelineStep { def name = "materialize_deletes" }
+final case class SetRefStep(refName: String, kind: String) extends PipelineStep {
+  def name = "set_ref"
+}
+final case class FastForwardStep(branch: String) extends PipelineStep { def name = "fast_forward" }
+final case class RollbackStep(snapshotId: Long) extends PipelineStep { def name = "rollback" }
 final case class MergeStep(rule: CreationRule.Value) extends PipelineStep { def name = "merge" }
 final case class SchemaStep(op: SchemaOp) extends PipelineStep { def name = "schema" }
 
@@ -142,6 +147,9 @@ object PipelineDsl {
           DeleteWhereMorStep(Maintenance.NTokGreaterThan(int("n_tok_gt", 0)))
         else DeleteWhereMorStep(Maintenance.DocIdBetween(str("doc_id_lo"), str("doc_id_hi")))
       case "materialize_deletes" => MaterializeDeletesStep
+      case "set_ref" => SetRefStep(str("name"), args.get("kind").map(_.toString).getOrElse("tag"))
+      case "fast_forward" => FastForwardStep(str("branch"))
+      case "rollback" => RollbackStep(long("snapshot_id", -1L))
       case "merge" =>
         val rule = args.get("rule").map(_.toString).getOrElse("eager") match {
           case "eager"      => CreationRule.Eager
@@ -283,6 +291,16 @@ object PipelineRunner {
           (Maintenance.deleteWhereMor(spark, table, pred), Map.empty)
         case MaterializeDeletesStep =>
           (Maintenance.materializeDeletes(spark, table), Map.empty)
+        case SetRefStep(refName, kind) =>
+          val id = table.metadata.currentSnapshotId.getOrElse(sys.error("no snapshot to ref"))
+          table.setRef(refName, id, kind)
+          (None, Map("ref" -> refName, "snapshot" -> id.toString))
+        case FastForwardStep(b) =>
+          val m = table.fastForward(b)
+          (None, Map("published-snapshot" -> m.currentSnapshotId.get.toString))
+        case RollbackStep(id) =>
+          table.rollbackTo(id)
+          (None, Map("rolled-back-to" -> id.toString))
         case MergeStep(rule) =>
           val batch = mergeBatch.getOrElse(sys.error("merge step needs a batch DataFrame"))
           (Some(Maintenance.mergeInto(spark, table, batch, rule)), Map.empty)

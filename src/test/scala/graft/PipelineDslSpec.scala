@@ -89,4 +89,24 @@ class PipelineDslSpec extends SparkSpec {
     // zorder committed a snapshot and expire left exactly one
     assert(t.metadata.snapshots.size == 1)
   }
+
+  test("ref steps: set_ref tags the current snapshot, rollback returns to it") {
+    val root = tmpDir("dsl-refs")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 500, nFiles = 4)
+    val r1 = PipelineRunner.run(spark, t, PipelineDsl.parse(
+      """- implementation: set_ref
+        |  arguments: { name: prod }
+        |""".stripMargin))
+    assert(r1.head.summary("ref") == "prod")
+    val pinned = t.refSnapshotId("prod")
+    t.commit("append", t.stageWrite(
+      SequenceGen.sequences(spark, 50, 9)
+        .withColumn("doc_id", concat(lit("x"), col("doc_id"))), "later"))
+    assert(t.metadata.currentSnapshotId.get != pinned)
+    PipelineRunner.run(spark, t, PipelineDsl.parse(
+      s"""- implementation: rollback
+         |  arguments: { snapshot_id: $pinned }
+         |""".stripMargin))
+    assert(t.metadata.currentSnapshotId.get == pinned)
+  }
 }
