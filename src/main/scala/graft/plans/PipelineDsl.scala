@@ -272,9 +272,11 @@ object PipelineRunner {
       mergeBatch: Option[DataFrame] = None,
       optimize: Boolean = true): Seq[StepResult] = {
     val plan = if (optimize) PlanOptimizer.optimize(steps) else steps
+    val metrics = graft.metrics.Metrics.get
+    import graft.metrics.{StandardMetrics => M}
     plan.map { step =>
       val t0 = System.nanoTime()
-      val (snap, extra): (Option[Snapshot], Map[String, String]) = step match {
+      val (snap, extra): (Option[Snapshot], Map[String, String]) = try { step match {
         case CompactStep(target, thresh, chunks) =>
           (Maintenance.compact(spark, table, SortBy(Seq("doc_id")), target, thresh, chunks),
             Map.empty)
@@ -307,8 +309,21 @@ object PipelineRunner {
         case SchemaStep(op) =>
           val m = table.evolveSchema(Seq(op))
           (None, Map("schema-id" -> m.schemaIdNow.toString))
+      } } catch {
+        case e: Throwable => metrics.increment(M.FatalErrors); throw e
       }
       val ms = (System.nanoTime() - t0) / 1000000
+      // per-step counters into the scoped registry (no-op outside a scope)
+      metrics.increment(M.StepsRun)
+      metrics.setValue(M.StepDurationMs, ms.toDouble)
+      snap.foreach { s =>
+        metrics.increment(M.SnapshotsCommitted)
+        s.summary.get("added-records").map(_.toDouble)
+          .foreach(metrics.increment(M.RecordsWritten, _))
+        s.summary.get("observed-rows").map(_.toDouble)
+          .foreach(metrics.increment(M.Records, _))
+      }
+      metrics.tick()
       StepResult(step.name, snap.map(_.snapshotId), ms,
         snap.map(_.summary).getOrElse(Map.empty) ++ extra)
     }

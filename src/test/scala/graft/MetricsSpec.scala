@@ -25,4 +25,33 @@ class MetricsSpec extends SparkSpec {
     val total = t.scan(spark).agg(sum(col("n_tok").cast("long"))).collect()(0).getLong(0)
     assert(toks.get > 0 && toks.get <= total)
   }
+
+  test("scoped metrics registry aggregates pipeline-step counters; no-op outside a scope") {
+    import graft.metrics._
+    val root = tmpDir("graft-metrics2")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 400, nFiles = 6)
+    val mem = new InMemoryMetricHandler
+    var jsonLines = Vector.empty[String]
+    Metrics.scoped(mem, new JsonLineMetricHandler(l => jsonLines :+= l)) {
+      graft.plans.PipelineRunner.run(spark, t, graft.plans.PipelineDsl.parse(
+        """- implementation: compact
+          |  arguments: { target_file_bytes: 8388608, small_file_threshold: 50331648 }
+          |- implementation: set_ref
+          |  arguments: { name: after-compact }
+          |""".stripMargin))
+    }
+    val snap = mem.snapshot()
+    assert(snap(StandardMetrics.StepsRun.name) == 2.0, s"got $snap")
+    assert(snap(StandardMetrics.SnapshotsCommitted.name) == 1.0) // set_ref commits no snapshot
+    assert(snap(StandardMetrics.RecordsWritten.name) == 400.0)
+    assert(snap(StandardMetrics.StepDurationMs.name) >= 0.0)
+    assert(jsonLines.nonEmpty && jsonLines.head.startsWith("{\"metrics\":{"))
+    // accumulate metrics reset on discharge; gauges persist
+    val discharged = mem.discharge()
+    assert(discharged(StandardMetrics.StepsRun.name) == 2.0)
+    assert(mem.snapshot()(StandardMetrics.StepsRun.name) == 0.0)
+    assert(mem.snapshot()(StandardMetrics.StepDurationMs.name) >= 0.0)
+    // outside any scope: reporting is a silent no-op
+    Metrics.get.increment(StandardMetrics.Records)
+  }
 }
