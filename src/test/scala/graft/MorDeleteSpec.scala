@@ -87,6 +87,35 @@ class MorDeleteSpec extends SparkSpec {
     assert(checksum(t.scan(spark)) == expected)
   }
 
+  test("two MoR deletes stack: both key sets apply, the carry keeps both manifests") {
+    val t = fresh()
+    val expected = checksum(t.scan(spark)
+      .filter(col("n_tok") <= 512 && col("source") =!= "web"))
+    Maintenance.deleteWhereMor(spark, t, Maintenance.NTokGreaterThan(512))
+    Maintenance.deleteWhereMor(spark, t, Maintenance.SourceIn(Set("web")))
+    assert(checksum(t.scan(spark)) == expected)
+    // both deletes retire together
+    Maintenance.materializeDeletes(spark, t)
+    assert(t.metadata.currentSnapshot.forall(_.deletes.isEmpty))
+    assert(checksum(t.scan(spark)) == expected)
+  }
+
+  test("MERGE after a MoR delete reads through the anti-join and never resurrects") {
+    val t = fresh()
+    Maintenance.deleteWhereMor(spark, t, Maintenance.NTokGreaterThan(512))
+    val expected = checksum(t.scan(spark))
+    // upsert a disjoint batch of new docs: the touched files rewrite through
+    // readFiles (delete applied), untouched files keep anti-joining
+    val batch = SequenceGen.sequences(spark, 100, 77)
+      .withColumn("doc_id", concat(lit("zz"), col("doc_id")))
+    Maintenance.mergeInto(spark, t, batch)
+    val after = checksum(t.scan(spark))
+    assert(after._1 == expected._1 + 100,
+      s"merge resurrected deleted rows or lost data: $expected -> $after")
+    assert(checksum(t.scan(spark).filter(col("n_tok") > 512 &&
+      !col("doc_id").startsWith("zz")))._1 == 0L, "deleted stratum reappeared")
+  }
+
   test("CoW deleteWhere and MoR deleteWhereMor agree row-for-row") {
     val t1 = fresh(); val t2 = fresh()
     Maintenance.deleteWhere(spark, t1, Maintenance.NTokGreaterThan(512))
