@@ -376,6 +376,10 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     var attempt = 0
     while (true) {
       val base = refresh()
+      branch.foreach { b =>
+        base.refMap.get(b).foreach(r => require(r.kind == "branch",
+          s"ref '$b' is a ${r.kind}, not a branch — tags are immutable"))
+      }
       val parent = branch.flatMap(b => base.refMap.get(b))
         .flatMap(r => base.snapshot(r.snapshotId))
         .orElse(base.currentSnapshot)
@@ -565,8 +569,15 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         (byRecency.take(math.max(retainLast, 1)).map(_.snapshotId) ++
           base.currentSnapshotId.toSeq ++
           // ref targets are pinned reader states — expiring them would break
-          // every job reading through the ref
+          // every job reading through the ref. A BRANCH additionally keeps
+          // its ancestor chain: fastForward proves publishability by walking
+          // parent ids, and an expired intermediate would orphan the branch.
           base.refMap.values.map(_.snapshotId) ++
+          base.refMap.values.filter(_.kind == "branch").flatMap { r =>
+            Iterator.iterate(base.snapshot(r.snapshotId))(
+              _.flatMap(_.parentId).flatMap(base.snapshot))
+              .takeWhile(_.nonEmpty).flatten.map(_.snapshotId)
+          } ++
           olderThanMs.map(cut => base.snapshots.filter(_.timestampMs >= cut).map(_.snapshotId))
             .getOrElse(Seq.empty)).toSet
       val next = base.copy(snapshots = base.snapshots.filter(s => keepIds.contains(s.snapshotId)))

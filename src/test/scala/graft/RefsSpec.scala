@@ -66,6 +66,24 @@ class RefsSpec extends SparkSpec {
     assert(checksum(t.scan(spark)) == before)
   }
 
+  test("tags are immutable: commit(branch = tagName) is rejected") {
+    val t = fresh()
+    t.setRef("v1", t.metadata.currentSnapshotId.get, "tag")
+    intercept[IllegalArgumentException] {
+      t.commit("append", t.stageWrite(batch(10, 29), "totag"), branch = Some("v1"))
+    }
+  }
+
+  test("expire keeps a branch's ancestor chain so it can still publish") {
+    val t = fresh()
+    t.commit("append", t.stageWrite(batch(40, 31), "a1"), branch = Some("audit"))
+    t.commit("append", t.stageWrite(batch(40, 37), "a2"), branch = Some("audit"))
+    t.expireSnapshots(retainLast = 1)
+    // the intermediate branch snapshot survived; publish still proves ancestry
+    t.fastForward("audit")
+    assert(checksum(t.scan(spark))._1 == 1500 + 80)
+  }
+
   test("unknown refs and unknown snapshots fail loudly") {
     val t = fresh()
     intercept[NoSuchElementException] { t.refSnapshotId("nope") }
