@@ -170,11 +170,6 @@ object QueryCatalog {
         (length(col("object_type")) * 24).cast("int").as("expiry_in_hours"),
         lit(100).as("batch_size"))
 
-  /** Watermarked event-time windowed aggregation (§2.6 beyond Flush): the
-    * events table replayed as a multi-batch file stream; tumbling 1-day
-    * windows emit in append mode once the watermark (max event time − 1h)
-    * passes the window end. The driver's oracle reproduces the emission rule
-    * relationally. */
   // ------------------------- shared stream-replay harness helpers --------
   // NTZ has no direct long cast — go through timestamp (UTC session).
   private def tsSec(c: Column): Column = c.cast("timestamp").cast("long")
@@ -204,6 +199,11 @@ object QueryCatalog {
     s.table(sink)
   }
 
+  /** Watermarked event-time windowed aggregation (§2.6 beyond Flush): the
+    * events table replayed as a multi-batch file stream; tumbling 1-day
+    * windows emit in append mode once the watermark (max event time − 1h)
+    * passes the window end. The driver's oracle reproduces the emission rule
+    * relationally. */
   def streamWindowCounts(s: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
     // Cache for the replay prep: the min/max probe and the four bucket

@@ -149,7 +149,9 @@ object PipelineDsl {
       case "materialize_deletes" => MaterializeDeletesStep
       case "set_ref" => SetRefStep(str("name"), args.get("kind").map(_.toString).getOrElse("tag"))
       case "fast_forward" => FastForwardStep(str("branch"))
-      case "rollback" => RollbackStep(long("snapshot_id", -1L))
+      // snapshot_id has no sensible default — a missing/mistyped key must
+      // fail at parse like every other required argument
+      case "rollback" => RollbackStep(str("snapshot_id").toLong)
       case "merge" =>
         val rule = args.get("rule").map(_.toString).getOrElse("eager") match {
           case "eager"      => CreationRule.Eager
@@ -310,7 +312,10 @@ object PipelineRunner {
           val m = table.evolveSchema(Seq(op))
           (None, Map("schema-id" -> m.schemaIdNow.toString))
       } } catch {
-        case e: Throwable => metrics.increment(M.FatalErrors); throw e
+        case e: Throwable =>
+          // tick before rethrowing: line-emitting handlers must surface the
+          // fatal-error count — the one event metrics exist for
+          metrics.increment(M.FatalErrors); metrics.tick(); throw e
       }
       val ms = (System.nanoTime() - t0) / 1000000
       // per-step counters into the scoped registry (no-op outside a scope)

@@ -210,29 +210,48 @@ final case class MigrationGraph(byName: Map[String, Migration]) {
       }
     }
     // The raw topological order is not sufficient once a squash stands in
-    // for its members: a migration depending on a replaced member must run
-    // AFTER the stand-in squash, but no graph edge says so (the dependency
-    // edge points at the skipped member). Re-order the selected set over
-    // EFFECTIVE dependencies — a dependency on a skipped member resolves to
-    // the squash that will run in its place.
+    // for its members (or vice versa): a dependency edge can point at a
+    // SKIPPED migration. Re-order the selected set over EFFECTIVE
+    // dependencies — a dependency on a skipped replaced member resolves to
+    // the squash running in its place; a dependency on a skipped squash
+    // (its chain already started, members finish one-by-one) resolves to
+    // the selected members standing in for IT; a completed dependency
+    // resolves to nothing.
     val byNameSel = selected.map(m => m.name -> m).toMap
     def effDeps(m: Migration): Seq[String] = m.dependencies.flatMap { d =>
-      if (byNameSel.contains(d)) Some(d)
-      else replacementIndex.get(d).map(_.name).filter(byNameSel.contains)
+      if (byNameSel.contains(d)) Seq(d)
+      else {
+        val viaSquash = replacementIndex.get(d).map(_.name).filter(byNameSel.contains).toSeq
+        val viaMembers = byName.get(d).filter(_.isSquashed)
+          .map(_.replaces.filter(byNameSel.contains)).getOrElse(Seq.empty)
+        viaSquash ++ viaMembers
+      }
     }.distinct
+    // Iterative DFS (like topologicalOrder above — a thousands-long linear
+    // migration chain must not stack-overflow), gray set for cycle detection
+    // in the substituted graph.
     val order = scala.collection.mutable.ArrayBuffer[Migration]()
     val done = scala.collection.mutable.Set[String]()
     val gray = scala.collection.mutable.Set[String]()
-    def visit(m: Migration): Unit = if (!done.contains(m.name)) {
-      if (gray.contains(m.name))
-        throw new IllegalStateException(
-          s"squash substitution creates a dependency cycle through '${m.name}'")
-      gray += m.name
-      effDeps(m).sorted.foreach(d => visit(byNameSel(d)))
-      gray -= m.name; done += m.name
-      order += m
+    val stack = scala.collection.mutable.Stack[(Migration, Boolean)]()
+    selected.reverseIterator.foreach(m => stack.push((m, false)))
+    while (stack.nonEmpty) {
+      val (m, processed) = stack.pop()
+      if (!done.contains(m.name)) {
+        if (processed) {
+          order += m; done += m.name; gray -= m.name
+        } else {
+          if (gray.contains(m.name))
+            throw new IllegalStateException(
+              s"squash substitution creates a dependency cycle through '${m.name}'")
+          gray += m.name
+          stack.push((m, true))
+          effDeps(m).sorted.reverseIterator.foreach { d =>
+            if (!done.contains(d)) stack.push((byNameSel(d), false))
+          }
+        }
+      }
     }
-    selected.foreach(visit)
     order.toSeq
   }
 

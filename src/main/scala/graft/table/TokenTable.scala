@@ -215,22 +215,23 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * current schema, commit a new schema version. No data file is touched. */
   def evolveSchema(ops: Seq[SchemaOp]): TableMetadata = {
     val reduced = SchemaEvolution.reduce(ops)
-    var attempt = 0
-    while (attempt < 5) {
-      val base = refresh()
-      if (reduced.isEmpty) return base
-      val cur = base.schemaVersion(base.schemaIdNow)
-      val curSchema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
-      val (newSchema, newIds) = SchemaEvolution.applyOps(curSchema, cur.fieldIds, reduced)
-      val newVer = SchemaVersion(base.schemaIdNow + 1, newSchema.json, newIds)
-      val next = base.copy(
-        schemaJson = newSchema.json,
-        currentSchemaId = Some(newVer.schemaId),
-        schemaLog = Some(base.schemas :+ newVer))
-      if (tryCommitVersion(currentVersion() + 1, next)) { meta = next; return next }
-      attempt += 1
-    }
-    throw new CommitConflictException(s"evolveSchema lost commit race at $root")
+    if (reduced.isEmpty) return refresh()
+    updateMeta(base => withEvolvedSchema(base, reduced))
+  }
+
+  /** Apply already-reduced ops to a metadata value: new schema version with
+    * stable field-ids appended to the log (shared by evolveSchema and the
+    * atomic migration path — one place to fix schema evolution). */
+  private def withEvolvedSchema(base: TableMetadata, reduced: Seq[SchemaOp]): TableMetadata = {
+    if (reduced.isEmpty) return base
+    val cur = base.schemaVersion(base.schemaIdNow)
+    val curSchema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    val (newSchema, newIds) = SchemaEvolution.applyOps(curSchema, cur.fieldIds, reduced)
+    val newVer = SchemaVersion(base.schemaIdNow + 1, newSchema.json, newIds)
+    base.copy(
+      schemaJson = newSchema.json,
+      currentSchemaId = Some(newVer.schemaId),
+      schemaLog = Some(base.schemas :+ newVer))
   }
 
   /** Table-property key holding the JSON list of applied migration names. */
@@ -256,34 +257,22 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
    */
   def applyMigration(name: String, ops: Seq[SchemaOp]): TableMetadata = {
     val reduced = SchemaEvolution.reduce(ops)
-    var attempt = 0
-    while (attempt < 5) {
-      val base = refresh()
+    // updateMeta retries on lost races; an already-recorded name makes the
+    // update the identity (idempotent re-run, no version bump needed — but
+    // updateMeta always commits, so short-circuit first).
+    val already = appliedMigrations()
+    if (already.contains(name)) return metadata
+    updateMeta { base =>
       val applied: Seq[String] = base.properties.get(AppliedMigrationsKey) match {
         case None    => Seq.empty
         case Some(j) =>
           implicit val f: org.json4s.Formats = TableJson.formats
           org.json4s.jackson.JsonMethods.parse(j).extract[Seq[String]]
       }
-      if (applied.contains(name)) return base
-      val withSchema =
-        if (reduced.isEmpty) base
-        else {
-          val cur = base.schemaVersion(base.schemaIdNow)
-          val curSchema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
-          val (newSchema, newIds) = SchemaEvolution.applyOps(curSchema, cur.fieldIds, reduced)
-          val newVer = SchemaVersion(base.schemaIdNow + 1, newSchema.json, newIds)
-          base.copy(
-            schemaJson = newSchema.json,
-            currentSchemaId = Some(newVer.schemaId),
-            schemaLog = Some(base.schemas :+ newVer))
-        }
-      val next = withSchema.copy(properties = withSchema.properties +
+      if (applied.contains(name)) base
+      else withEvolvedSchema(base, reduced).copy(properties = base.properties +
         (AppliedMigrationsKey -> TableJson.write(applied :+ name)))
-      if (tryCommitVersion(currentVersion() + 1, next)) { meta = next; return next }
-      attempt += 1
     }
-    throw new CommitConflictException(s"applyMigration($name) lost commit race at $root")
   }
 
   // ---------------------------------------------------------------- writing
@@ -380,9 +369,14 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         base.refMap.get(b).foreach(r => require(r.kind == "branch",
           s"ref '$b' is a ${r.kind}, not a branch — tags are immutable"))
       }
-      val parent = branch.flatMap(b => base.refMap.get(b))
-        .flatMap(r => base.snapshot(r.snapshotId))
-        .orElse(base.currentSnapshot)
+      val parent = branch.flatMap(b => base.refMap.get(b)) match {
+        case Some(r) =>
+          // the ref target MUST resolve — silently re-parenting at main
+          // would drop the branch's staged commits from its lineage
+          Some(base.snapshot(r.snapshotId).getOrElse(sys.error(
+            s"branch '${branch.get}' points at missing snapshot ${r.snapshotId}")))
+        case None => base.currentSnapshot
+      }
       val snapId = base.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
       def mustRead(m: ManifestMeta): Boolean =
         replaced.nonEmpty && replacedRange.forall { case (lo, hi) => m.mayIntersect(lo, hi) }

@@ -46,11 +46,15 @@ object DedupOps {
     // other); GROUP BY, by contrast, DOES collapse NULLs together — which
     // the hash grouping reproduces since all null rows share the seed-only
     // hash pair.
-    val keyedBatch = key(batch)
-    val corpusKeys = key(corpus).filter(!col("_tnull")).select("_h1", "_h2").distinct()
-    keyedBatch.filter(!col("_tnull"))
-      .join(corpusKeys, Seq("_h1", "_h2"), "left_anti")
-      .unionByName(keyedBatch.filter(col("_tnull")))
+    val corpusKeys = key(corpus).filter(!col("_tnull"))
+      .select(col("_h1"), col("_h2")).distinct().withColumn("_hit", lit(1))
+    // ONE pass over the batch: a left join with a hit marker replaces the
+    // anti-join + union shape (which planned two scans and two hash
+    // evaluations of the batch); null-text rows keep their SQL semantics by
+    // surviving regardless of the marker.
+    key(batch)
+      .join(corpusKeys, Seq("_h1", "_h2"), "left")
+      .filter(col("_hit").isNull || col("_tnull"))
       .groupBy(col("_h1"), col("_h2"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("dup_count"))

@@ -89,6 +89,25 @@ class MigrationsSpec extends SparkSpec {
     assert(!t.schema.fieldNames.contains("q") && !t.schema.fieldNames.contains("quality"))
   }
 
+  test("plan orders a dependent of a SKIPPED squash after the members standing in for it") {
+    // z2 (deps m1) and squash s replacing {m1, z2}; a_dep depends on the
+    // squash itself. With m1 completed the chain finishes member-wise: s is
+    // skipped and z2 runs — a_dep's dependency on s must resolve to z2, and
+    // a_dep (which sorts FIRST by name) must still run after it.
+    val m1x = Migration("m1", Seq(AddColumn("quality", "DOUBLE")), Nil)
+    val z2 = Migration("z2", Seq(RenameColumn("quality", "q")), Seq("m1"))
+    val sq = Migration.squash("s", Seq(m1x, z2))
+    val aDep = Migration("a_dep", Seq(DropColumn("q")), Seq("s"))
+    val g = MigrationGraph.fromMigrations(Seq(m1x, z2, sq, aDep))
+    val plan = g.orderedPlan(Set("m1")).map(_.name)
+    assert(plan == Seq("z2", "a_dep"), s"got $plan")
+    // and it applies cleanly end-to-end
+    val t = TokenTable.create(spark, tmpDir("migplan2"))
+    t.applyMigration("m1", m1x.operations)
+    Migrator.migrate(t, g)
+    assert(!t.schema.fieldNames.contains("q") && !t.schema.fieldNames.contains("quality"))
+  }
+
   test("applyMigration records name and schema change in ONE metadata commit (atomic, idempotent)") {
     val t = TokenTable.create(spark, tmpDir("migatomic"))
     val v0 = t.currentVersion()
