@@ -355,14 +355,19 @@ object DedupOps {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("comp"))
-      val updated = labels.union(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("comp")).as("ncomp"))
+      // One checkpointed frame serves BOTH the convergence count and the
+      // next round's labels — the old/new comparison rides the same rows,
+      // so each round costs the propagation join + agg and nothing more
+      // (previously a separate updated⋈old join re-scanned both label sets
+      // per round just to count changes).
+      val joined = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(labels("id"), col("comp").as("_old"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("comp", "_old"), Seq("id"))
-        .filter(col("comp") =!= col("_old")).count()
-      labels = updated
+      changed = joined.filter(col("comp") =!= col("_old")).count()
+      labels = joined.select(col("id"), col("comp"))
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
