@@ -116,6 +116,59 @@ class MorDeleteSpec extends SparkSpec {
       !col("doc_id").startsWith("zz")))._1 == 0L, "deleted stratum reappeared")
   }
 
+  test("model check: random append/MoR-delete/compact/materialize interleavings match a map model") {
+    // The sequence-number semantics under arbitrary interleaving, checked
+    // against the obvious in-memory model: a Map(doc_id -> n_tok) where
+    // append overwrites... no — append ADDS rows (CREATE semantics); this
+    // model only appends FRESH ids or ids it has deleted, so the map stays
+    // exact. Deletes remove matching entries; compact/materialize must be
+    // invisible to the model.
+    val rng = new scala.util.Random(20260817L)
+    (1 to 3).foreach { round =>
+      val t = TokenTable.create(spark, tmpDir(s"mor-model-$round") + "/tbl")
+      var model = Map.empty[String, Int]
+      var nextId = 0
+      def freshBatch(n: Int, nTokOf: Int => Int): Seq[(String, Int)] =
+        (0 until n).map { _ =>
+          nextId += 1; (f"doc$nextId%06d", nTokOf(nextId))
+        }
+      def append(rows: Seq[(String, Int)]): Unit = {
+        import spark.implicits._
+        val df = rows.toDF("doc_id", "n_tok")
+          .select(col("doc_id"),
+            transform(sequence(lit(1), col("n_tok")), j => j).as("tokens"),
+            col("n_tok").cast("int").as("n_tok"), lit("web").as("source"))
+        t.commit("append", t.stageWrite(df, s"b${t.currentVersion()}"))
+        model ++= rows
+      }
+      append(freshBatch(300, id => 10 + id % 90))
+      (1 to 7).foreach { _ =>
+        rng.nextInt(4) match {
+          case 0 => // fresh rows, some re-using DELETED id space via fresh ids
+            append(freshBatch(50, id => 10 + id % 90))
+          case 1 => // MoR delete a stratum; re-insert half of it with new n_tok
+            val cut = 10 + rng.nextInt(80)
+            Maintenance.deleteWhereMor(spark, t, Maintenance.NTokGreaterThan(cut))
+            val deleted = model.filter(_._2 > cut).keys.toSeq.sorted
+            model = model.filter(_._2 <= cut)
+            val reins = deleted.take(deleted.size / 2).map(id => (id, 5 + rng.nextInt(4)))
+            if (reins.nonEmpty) append(reins)
+          case 2 =>
+            Maintenance.compact(spark, t, SortBy(Seq("doc_id")),
+              targetFileBytes = 4L * 1024 * 1024, smallFileThreshold = None)
+          case 3 =>
+            Maintenance.materializeDeletes(spark, t)
+        }
+        val got = t.scan(spark).select("doc_id", "n_tok").collect()
+          .map(r => r.getString(0) -> r.getInt(1)).toMap
+        assert(got == model,
+          s"round $round diverged: extra=${(got.keySet -- model.keySet).take(5)} " +
+            s"missing=${(model.keySet -- got.keySet).take(5)} " +
+            s"mismatched=${model.collect { case (k, v) if got.get(k).exists(_ != v) => k }.take(5)}")
+      }
+    }
+  }
+
   test("CoW deleteWhere and MoR deleteWhereMor agree row-for-row") {
     val t1 = fresh(); val t2 = fresh()
     Maintenance.deleteWhere(spark, t1, Maintenance.NTokGreaterThan(512))
