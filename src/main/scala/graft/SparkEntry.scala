@@ -295,7 +295,7 @@ object SparkEntry {
     "txt_pii_scrub" ->
       """WITH p AS (SELECT doc_id, text || ' contact doc' || doc_id || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) + len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS INT) AS n_redactions,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) + len(regexp_extract_all(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{3}-\d{4}\b')) AS INT) AS n_redactions,
         |  regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
         |FROM p""".stripMargin,
     "mm_decode_meta" ->

@@ -581,6 +581,14 @@ object Maintenance {
    * numbers); [[materializeDeletes]] forces the rewrite and retires the key
    * files. The CoW/MoR trade is the caller's: CoW keeps scans pristine,
    * MoR makes the delete itself cheap — exactly Iceberg's two modes.
+   *
+   * Key invariant: equality deletes are doc_id-KEYED, so MoR matches CoW
+   * row-for-row only when doc_id is unique among lower-sequence rows (the
+   * table contract every merge path maintains; plain commit("append") does
+   * not enforce it). With duplicate doc_ids a staged key deletes every
+   * lower-sequence row carrying it — non-matching duplicates included —
+   * which is equality-delete semantics, not predicate semantics. Callers
+   * appending duplicate keys must use [[deleteWhere]] (predicate CoW).
    */
   def deleteWhereMor(
       spark: SparkSession,

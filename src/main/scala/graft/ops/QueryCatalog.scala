@@ -622,8 +622,15 @@ object QueryCatalog {
     val scored = docs.select(col("doc_id"), col("n_chars"),
       TextOps.qualityScore(col("text")).as("quality"))
     val keep = DedupOps.exactDedup(docs).select(col("doc_id"))
+    // localCheckpoint the curated (slim, 2-col) frame: chunkStats' range
+    // exchange samples its child at runtime, which would re-run the quality
+    // score AND the dedup semi-join once more (the hazard Curation.scala
+    // documents). Checkpointed, the sampling and both prefix-sum passes read
+    // materialized partitions instead.
     val curated = scored.join(keep, Seq("doc_id"), "left_semi")
       .filter(col("quality") >= 0.55)
+      .select(col("doc_id"), col("n_chars"))
+      .localCheckpoint()
     graft.text.SequencePack.chunkStats(curated, maxLen = 2048, nCol = "n_chars")
   }
 
@@ -645,8 +652,11 @@ object QueryCatalog {
     * window). */
   def selTokenBudget(s: SparkSession, dir: String): DataFrame =
     graft.text.Curation.selectUnderBudget(
+      // localCheckpoint: selectUnderBudget's range exchange samples its
+      // child, which would evaluate the quality score a second time
       tbl(s, dir, "documents").select(col("doc_id"), col("n_chars"),
-        TextOps.qualityScore(col("text")).as("quality")),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .localCheckpoint(),
       budget = 100000, scoreCol = "quality", nCol = "n_chars")
 
   // ===================================== training-data ops: text analysis

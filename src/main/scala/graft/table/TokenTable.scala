@@ -536,10 +536,20 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     }
 
   /** Roll the main line back to an earlier snapshot (metadata-only; the
-    * abandoned snapshots stay in the log until expireSnapshots). */
+    * abandoned snapshots stay in the log until expireSnapshots). The target
+    * must be an ANCESTOR of the current main-line snapshot — the same
+    * parent-chain walk [[fastForward]] uses. A snapshot reachable only via a
+    * branch ref is rejected: "rolling back" onto it would silently publish
+    * unaudited branch commits, bypassing the write-audit-publish ancestry
+    * contract. */
   def rollbackTo(snapshotId: Long): TableMetadata =
     updateMeta { base =>
       require(base.snapshot(snapshotId).nonEmpty, s"unknown snapshot $snapshotId")
+      val ancestors = Iterator.iterate(base.currentSnapshot)(
+        _.flatMap(_.parentId).flatMap(base.snapshot)).takeWhile(_.nonEmpty).flatten
+      require(ancestors.exists(_.snapshotId == snapshotId),
+        s"snapshot $snapshotId is not an ancestor of the current main line — " +
+          "rollback cannot publish branch-only commits (publish via fastForward)")
       base.copy(currentSnapshotId = Some(snapshotId))
     }
 

@@ -63,9 +63,21 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Quality-score components + a composite in [0,1], rounded for
-    * cross-engine float determinism. */
-  def qualityScore(text: Column): Column = {
+  /** Quality-score composite in [0,1], rounded for cross-engine float
+    * determinism. Computed by the native
+    * [[graft.functions.QualityScoreRaw]] expression (one string walk per
+    * row instead of ~7 regex/replace passes); [[qualityScoreColumnar]] is
+    * the pure-column reference definition, equality spec-pinned
+    * (CurationSpec). */
+  def qualityScore(text: Column): Column =
+    round(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.QualityScoreRaw(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text))), 4)
+
+  /** The columnar reference definition of [[qualityScore]] — shared term by
+    * term with the DuckDB oracle (OracleSql.qualityExpr); must stay
+    * byte-equivalent to both. */
+  def qualityScoreColumnar(text: Column): Column = {
     val len = length(text)
     val words = wsTokenCount(text)
     val punct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
@@ -113,9 +125,14 @@ object TextOps {
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRegex = "\\b\\d{3}-\\d{4}\\b"
 
+  /** Redactions [[piiScrub]] actually performs: email matches on the raw
+    * text, phone matches on the post-email-scrub text — mirroring the
+    * sequential replacement order, so text matched by both patterns (a
+    * digit local-part like 555-1234@x.com) counts once, not twice. */
   def piiRedactionCount(text: Column): Column =
     (size(regexp_extract_all(text, lit(EmailRegex), lit(0))) +
-      size(regexp_extract_all(text, lit(PhoneRegex), lit(0)))).cast("int")
+      size(regexp_extract_all(
+        regexp_replace(text, EmailRegex, "<EMAIL>"), lit(PhoneRegex), lit(0)))).cast("int")
 
   /** Replace every email/phone match with a typed placeholder token —
     * codegen'd regexp_replace, no UDF; at 100 TB this is a map-only stage

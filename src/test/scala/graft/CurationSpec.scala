@@ -49,6 +49,35 @@ class CurationSpec extends SparkSpec {
     assert(got == ref && got.nonEmpty && got.size < 2000)
   }
 
+  test("native quality score == columnar reference, bit for bit, on nasty strings") {
+    import graft.text.TextOps
+    // every branch of the definition: empty, whitespace-only (gated word
+    // count), leading tab (trim strips ASCII spaces only, \s+ split yields a
+    // leading empty token), punctuation runs, overlapping stop-word pads
+    // (" a a a "), long text (lenScore cap), mixed unicode incl. a
+    // supplementary-plane code point (code-point length), null
+    val nasty = Seq(
+      "", " ", "   ", "\t", "\ta b", "a", "the", " the ", "the the the",
+      "a a a a a a", "to of and the a", "x.y,z;q:w!e?r", "...!!!???",
+      "word " * 200, "héllo wörld. the end", "emoji 😀 the test",
+      "a  b   c", " leading the space ", "trail the space ", null)
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      nasty.map(s => org.apache.spark.sql.Row(s)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.StringType, true))))
+    val out = df.select(
+      TextOps.qualityScore(col("t")).as("native"),
+      TextOps.qualityScoreColumnar(col("t")).as("columnar")).collect()
+    out.zip(nasty).foreach { case (r, s) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch on ${Option(s)}")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          s"quality mismatch on '$s': native=${r.getDouble(0)} columnar=${r.getDouble(1)}")
+    }
+  }
+
   test("prefix-sum outputs survive a downstream coalesce(1)") {
     // Regression: TaskContext.getPartitionId() is the TASK id — under a
     // caller's coalesce(1) every parent partition ran in task 0 and

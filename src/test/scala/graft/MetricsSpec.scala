@@ -26,6 +26,22 @@ class MetricsSpec extends SparkSpec {
     assert(toks.get > 0 && toks.get <= total)
   }
 
+  test("Records metric rides the merge step's observed-rows summary through the runner") {
+    import graft.metrics._
+    val root = tmpDir("graft-metrics3")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 200, nFiles = 3)
+    val batch = t.scan(spark).limit(40)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+    val mem = new InMemoryMetricHandler
+    Metrics.scoped(mem) {
+      graft.plans.PipelineRunner.run(spark, t,
+        Seq(graft.plans.MergeStep(CreationRule.Eager)), mergeBatch = Some(batch))
+    }
+    val snap = mem.snapshot()
+    assert(snap(StandardMetrics.Records.name) >= 40.0,
+      s"observed-rows did not reach the Records metric: $snap")
+  }
+
   test("scoped metrics registry aggregates pipeline-step counters; no-op outside a scope") {
     import graft.metrics._
     val root = tmpDir("graft-metrics2")

@@ -84,6 +84,21 @@ class RefsSpec extends SparkSpec {
     assert(checksum(t.scan(spark))._1 == 1500 + 80)
   }
 
+  test("rollback refuses a snapshot reachable only via a branch ref") {
+    val t = fresh()
+    val sBranch = t.commit("append", t.stageWrite(batch(30, 41), "br-only"),
+      branch = Some("audit")).snapshotId
+    // an advance of the main line puts the branch snapshot off the main chain
+    t.commit("append", t.stageWrite(batch(20, 43), "mainline2"))
+    // rolling "back" onto the branch head would publish unaudited commits
+    intercept[IllegalArgumentException] { t.rollbackTo(sBranch) }
+    // a genuine ancestor still works
+    val s0 = Iterator.iterate(t.metadata.currentSnapshot)(
+      _.flatMap(_.parentId).flatMap(t.metadata.snapshot))
+      .takeWhile(_.nonEmpty).flatten.toSeq.last.snapshotId
+    t.rollbackTo(s0)
+  }
+
   test("unknown refs and unknown snapshots fail loudly") {
     val t = fresh()
     intercept[NoSuchElementException] { t.refSnapshotId("nope") }

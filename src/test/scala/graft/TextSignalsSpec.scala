@@ -47,4 +47,18 @@ class TextSignalsSpec extends SparkSpec {
     assert(out(0) == ((3, "mail me at <EMAIL> or <EMAIL>, call <PHONE>")))
     assert(out(1) == ((0, "no pii here 12-34")))
   }
+
+  test("redaction count matches scrub order: phone-shaped email local part counts once") {
+    import spark.implicits._
+    // 555-1234@x.com matches BOTH patterns; scrub replaces it once (email
+    // first), so the count must be 1 — phone matching runs on the
+    // post-email-scrub text
+    val out = Seq("reach 555-1234@x.com today", "dual 555-1234@x.com and 555-9999")
+      .toDF("t")
+      .select(TextOps.piiRedactionCount(col("t")).as("n"),
+        TextOps.piiScrub(col("t")).as("clean"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out(0) == ((1, "reach <EMAIL> today")))
+    assert(out(1) == ((2, "dual <EMAIL> and <PHONE>")))
+  }
 }
