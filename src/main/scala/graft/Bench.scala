@@ -217,11 +217,27 @@ object Bench {
     // an explicit implausible_only flag rather than silently laundered.
     val plausible = pairs.filter(p => p.normalized <= 1.1 && p.raw <= 1.0)
     val implausibleOnly = plausible.isEmpty
-    val best = (if (plausible.nonEmpty) plausible else pairs).maxBy(_.normalized)
+    val usable = if (plausible.nonEmpty) plausible else pairs
+    val best = usable.maxBy(_.normalized)
     val effRaw = best.raw
     val normalized = math.min(best.normalized, 1.0)
-    val thrSmall = smalls.map(_._1).max
-    val thrBig = bigs.map(_._1).max
+    // Estimator-robust companion to the best-pair headline: the MEDIAN of the
+    // plausible pairs' normalized ratios (capped at 1 like the headline). The
+    // best pair is the cleanest-windows argument; the median is what a
+    // skeptical reader takes — the north-rule claim is made on the median.
+    val effMedian = {
+      val sorted = usable.map(p => math.min(p.normalized, 1.0)).sorted
+      val n = sorted.length
+      if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    }
+    // Headline throughputs come from the SAME pair as the efficiency claim —
+    // one coherent window, not max-over-all-runs mixed with best-pair
+    // efficiency. The per-trial maxima are reported alongside as the
+    // best-observed capability numbers.
+    val thrSmall = best.thrN
+    val thrBig = best.thr4N
+    val thrSmallMax = smalls.map(_._1).max
+    val thrBigMax = bigs.map(_._1).max
 
     // Secondary ceiling evidence: pure pinned spin arithmetic (cpu frequency
     // / steal) between the same two sizes, plus the bandwidth ratio implied
@@ -260,13 +276,15 @@ object Bench {
       s""""scaling":{"n_cores":$nSmall,"cores_4n":$nBig,"n_docs":$nDocs,"pinned":$canPin,""" +
       s""""tmpfs":${shmDir.isDefined},"implausible_only":$implausibleOnly,""" +
       s""""throughput_n":${f(thrSmall)},"throughput_4n":${f(thrBig)},""" +
-      s""""efficiency":${f(normalized)},"efficiency_raw":${f(effRaw)},""" +
+      s""""throughput_n_max":${f(thrSmallMax)},"throughput_4n_max":${f(thrBigMax)},""" +
+      s""""efficiency":${f(normalized)},"efficiency_median":${f(effMedian)},""" +
+      s""""efficiency_raw":${f(effRaw)},""" +
       s""""cpu_ceiling_efficiency":${cpuCeilingEff.map(f).getOrElse("null")},""" +
       s""""mem_bandwidth_ceiling_efficiency":${memCeilingEff.map(f).getOrElse("null")}}"""
     // Full evidence goes to a sidecar file; stdout gets ONE SHORT line (the
     // driver tails the log — round 1's 2.5 KB line was truncated → unparseable).
     val detail =
-      s"""{"metric":"maintenance throughput (sequences/sec compacted+Z-ordered)","value":${f(thrBig)},"unit":"seq/sec","sf":"$sfDir","queries":$qs,"total_query_sec":${f(total)},$scaling,"pairs":$pairsJson,"efficiency_note":"pairs couple rep k of an N child with rep k of the following 4N child (same few-minute neighborhood; each run carries its OWN in-window bandwidth probe at its core count, so the normalization never assumes shared windows); the probe ratio bw_4n/bw_n is clamped into [1, 4] before normalizing — 4x cores cannot bring <1x or >4x of one box's bandwidth, so a ratio outside that range is a degraded probe window, not physics; pairs with raw > 1 or normalized > 1.1 are discarded as physically impossible (a degraded small-cluster run, not engine scaling; implausible_only flags the no-survivor case instead of laundering it); efficiency = best remaining pair's bandwidth-normalized ratio (thr_4n/thr_n)/clamp(bw_4n/bw_n), capped at 1 — the fraction of the extra bandwidth the 4N cluster actually had that the engine converted to throughput (a real cluster brings proportional memory channels per executor; this single box does not: bw_4n/bw_n ~ 2.3x/4, a host artifact). efficiency_raw = the SAME pair's raw (thr_4n/thr_n)/4. All pairs embedded."}"""
+      s"""{"metric":"maintenance throughput (sequences/sec compacted+Z-ordered)","value":${f(thrBig)},"unit":"seq/sec","sf":"$sfDir","queries":$qs,"total_query_sec":${f(total)},$scaling,"pairs":$pairsJson,"efficiency_note":"pairs couple rep k of an N child with rep k of the following 4N child (same few-minute neighborhood; each run carries its OWN in-window bandwidth probe at its core count, so the normalization never assumes shared windows); the probe ratio bw_4n/bw_n is clamped into [1, 4] before normalizing — 4x cores cannot bring <1x or >4x of one box's bandwidth, so a ratio outside that range is a degraded probe window, not physics; pairs with raw > 1 or normalized > 1.1 are discarded as physically impossible (a degraded small-cluster run, not engine scaling; implausible_only flags the no-survivor case instead of laundering it); efficiency = best remaining pair's bandwidth-normalized ratio (thr_4n/thr_n)/clamp(bw_4n/bw_n), capped at 1 — the fraction of the extra bandwidth the 4N cluster actually had that the engine converted to throughput (a real cluster brings proportional memory channels per executor; this single box does not: bw_4n/bw_n ~ 2.3x/4, a host artifact). efficiency_median = MEDIAN of the plausible pairs' capped normalized ratios — the estimator-robust number the north-rule claim is made on (best-pair = cleanest-windows argument; the median survives a skeptical read). efficiency_raw = the best pair's raw (thr_4n/thr_n)/4. value/throughput_n/throughput_4n all come from the SAME best plausible pair (one coherent window); throughput_n_max/throughput_4n_max are the best single trials observed. All pairs embedded."}"""
     val short =
       s"""{"metric":"maintenance throughput (sequences/sec compacted+Z-ordered)","value":${f(thrBig)},"unit":"seq/sec","sf":"$sfDir","total_query_sec":${f(total)},$scaling,"detail":"BENCH_DETAIL.json"}"""
     for (root <- Seq(".", "/root/repo") if new java.io.File(root).isDirectory) {
