@@ -62,6 +62,7 @@ object SparkEntry {
     "maint_zorder" -> ((s, d) => MaintPipelines.zorderRoundtrip(s, d)),
     "maint_hilbert" -> ((s, d) => MaintPipelines.hilbertRoundtrip(s, d)),
     "maint_merge" -> ((s, d) => MaintPipelines.mergeRoundtrip(s, d)),
+    "maint_partitioned" -> ((s, d) => MaintPipelines.partitionedRoundtrip(s, d)),
     "maint_merge_match_only" -> ((s, d) => MaintPipelines.mergeMatchOnlyRoundtrip(s, d)),
     "maint_merge_create" -> ((s, d) => MaintPipelines.mergeCreateRoundtrip(s, d)),
     "maint_hooks" -> ((s, d) => MaintPipelines.mergeHooksRoundtrip(s, d)),
@@ -201,6 +202,9 @@ object SparkEntry {
     "maint_copy" -> MaintPipelines.baseOracle,
     "maint_table_source" -> MaintPipelines.tableSourceOracle,
     "maint_merge" -> MaintPipelines.mergeOracle,
+    // same end state as maint_merge — the partitioned table must converge to
+    // identical content; the partition/pruning assertions are inside the query
+    "maint_partitioned" -> MaintPipelines.mergeOracle,
     "maint_merge_match_only" -> MaintPipelines.mergeMatchOnlyOracle,
     "maint_merge_create" -> MaintPipelines.mergeCreateOracle,
     "maint_hooks" -> MaintPipelines.mergeHooksOracle,

@@ -374,6 +374,49 @@ object MaintPipelines {
       col("source"), col("q"))
   }
 
+  /**
+   * Hidden partitioning end-to-end: a table declared
+   * identity(source) + bucket(doc_id, 8) is seeded and MERGEd (every write
+   * path must stay partition-aligned and record per-file tuples), then
+   * partition pruning is asserted — a source filter plans only that source's
+   * files (exact partition equality, not a stats range) and a doc_id point
+   * lookup plans only its bucket's files — before the full scan is
+   * oracle-checked. The pruning assertions are structural (file counts and
+   * recorded tuples), because an oracle can check WHAT was read, not how
+   * little.
+   */
+  def partitionedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.table.{PartitionField, TokenTable}
+    val root = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val spec = Seq(
+      PartitionField("source", "identity"),
+      PartitionField("doc_id", "bucket", Some(8)))
+    val t = TokenTable.create(spark, s"$root/tbl", partitionSpec = spec)
+    val df = tokensFromDocs(spark, sfDir).repartition(4, xxhash64(col("doc_id")))
+    t.commit("append", t.stageWrite(df, "seed"))
+    require(t.liveFiles().forall(_.partition.exists(p =>
+      p.contains("source") && p.contains("doc_id_bucket"))),
+      "staged file missing its partition tuple")
+    // the rewrite path must keep alignment: MERGE rewrites touched files
+    // through the same partition-aligned stageWrite
+    Maintenance.mergeInto(spark, t, updateBatch(spark, sfDir))
+    val live = t.liveFiles()
+    require(live.forall(_.partition.nonEmpty), "MERGE output lost partition tuples")
+    // source pruning: exact partition equality, strictly fewer files
+    val srcs = live.flatMap(_.partitionValue("source")).distinct
+    require(srcs.size > 1, s"need multiple sources to prove pruning, got $srcs")
+    val oneSrc = t.planFiles(sourceIn = Some(Set(srcs.head)))
+    require(oneSrc.nonEmpty && oneSrc.size < live.size &&
+      oneSrc.forall(_.partitionValue("source").contains(srcs.head)),
+      s"source pruning failed: ${oneSrc.size}/${live.size} files")
+    // bucket pruning: a point lookup plans at most the key's bucket
+    val key = t.scan(spark).select(min(col("doc_id"))).head.getString(0)
+    val keyFiles = t.planFilesForKey(key)
+    require(keyFiles.size < live.size, s"bucket pruning planned ${keyFiles.size}/${live.size}")
+    require(t.lookup(spark, key).count() == 1, "point lookup lost the row")
+    verifiableScan(spark, t)
+  }
+
   /** Incremental maintenance ticks: compact only what arrived since the
     * consumer's cursor (the reference's stream/Flush loop as a planner mode). */
   def incrementalRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,110 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Partition-transform evaluation for hidden partitioning (TableMetadata
+ * .partitionSpec) — both forms of every transform, kept adjacent so they
+ * cannot drift:
+ *
+ *  - the COLUMN form stamps `_p_<name>` columns onto a DataFrame for the
+ *    partition-aligned write (`df.write.partitionBy`), evaluated by Spark
+ *    per row;
+ *  - the VALUE form computes the same transform driver-side for pruning
+ *    (a point-lookup key → its bucket, compared against each file's
+ *    recorded partition tuple).
+ *
+ * Bucket hashing uses the engine's portable polynomial char hash
+ * ([[graft.functions.TextHash.polyHash]] / the native CharPolyHash
+ * expression) for strings — reproducible by an independent engine, unlike
+ * xxhash64 — and `pmod(value, n)` for integral columns. The nodestream
+ * analogue is the per-type copy concurrency split
+ * (reference nodestream/databases/copy.py:103-155): work is routed by a
+ * declared key derivation, and every derived value is recorded so later
+ * stages prune by it.
+ */
+object Partitioning {
+
+  /** Staging-column prefix: `partitionBy` removes these from the data file,
+    * leaving the original columns intact (identity values are DUPLICATED
+    * into `_p_<col>`, never moved — an identity-partitioned file still
+    * carries its source column, unlike naive `partitionBy(source)`). */
+  val ColPrefix = "_p_"
+
+  def partitionColName(f: PartitionField): String = ColPrefix + f.name
+
+  /** The column form of one transform. */
+  def transformCol(f: PartitionField, dataType: org.apache.spark.sql.types.DataType): Column =
+    f.transform match {
+      case "identity" => col(f.column).cast(StringType)
+      case "bucket" =>
+        val n = f.n.get
+        if (dataType == StringType)
+          pmod(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.CharPolyHash(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(f.column)),
+              131, graft.functions.TextHash.P1)), lit(n.toLong))
+        else pmod(col(f.column).cast("long"), lit(n.toLong))
+    }
+
+  /** The driver-side value form: the partition value a row with `value` in
+    * the field's column lands in (string rendering matches the column form's
+    * directory name). */
+  def transformValue(f: PartitionField, value: String): String = f.transform match {
+    case "identity" => value
+    case "bucket" =>
+      (graft.functions.TextHash.polyHash(
+        UTF8String.fromString(value), 131, graft.functions.TextHash.P1) % f.n.get).toString
+  }
+
+  /** Stamp the spec's `_p_*` columns onto a frame (no-op for empty spec). */
+  def withPartitionCols(df: DataFrame, spec: Seq[PartitionField]): DataFrame =
+    spec.foldLeft(df) { (d, f) =>
+      d.withColumn(partitionColName(f), transformCol(f, df.schema(f.column).dataType))
+    }
+
+  /** Parse a staged file's partition tuple from its relative path —
+    * `.../_p_source=web/_p_doc_id_bucket=3/part-0.parquet` →
+    * Map(source -> web, doc_id_bucket -> 3). Returns None when the path
+    * carries no partition directories. */
+  def partitionFromPath(relPath: String): Option[Map[String, String]] = {
+    val kvs = relPath.split('/').toSeq.flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (seg.startsWith(ColPrefix) && eq > ColPrefix.length)
+        Some(seg.substring(ColPrefix.length, eq) -> unescapePathValue(seg.substring(eq + 1)))
+      else None
+    }
+    if (kvs.isEmpty) None else Some(kvs.toMap)
+  }
+
+  /** Undo Spark's partition-directory escaping (percent-encoded bytes; the
+    * same scheme Hive uses). Plain values pass through untouched. */
+  private[graft] def unescapePathValue(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { out.write(Integer.parseInt(hex, 16)); i += 3 }
+        catch { case _: NumberFormatException => out.write(c.toInt); i += 1 }
+      } else { out.write(s.substring(i, i + 1).getBytes("UTF-8")); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  /** Cluster a frame by its partition tuple before writing (partition-aware
+    * write distribution): each write task then holds few partition values,
+    * so `partitionBy` fan-out stays bounded instead of every task writing a
+    * file per value. */
+  def distributeByPartition(df: DataFrame, spec: Seq[PartitionField], nOut: Int): DataFrame = {
+    if (spec.isEmpty) return df
+    val stamped = withPartitionCols(df, spec)
+    stamped.repartition(nOut, spec.map(f => col(partitionColName(f))): _*)
+      .drop(spec.map(partitionColName): _*)
+  }
+}

@@ -24,6 +24,22 @@ import org.json4s.jackson.Serialization
  *   <root>/metadata/ledger/<step>/...           -- resumable work-unit ledger
  * }}}
  */
+/** One field of a declared partition spec (Iceberg's hidden partitioning):
+  * `transform` is `identity` or `bucket` (with `n` buckets). The partition
+  * value is DERIVED from the data column at write time — readers filter on
+  * the data column and pruning happens through the transform, so queries
+  * never mention partition columns (the "hidden" in hidden partitioning). */
+final case class PartitionField(column: String, transform: String, n: Option[Int] = None) {
+  require(transform == "identity" || transform == "bucket", s"unknown transform '$transform'")
+  require(transform != "bucket" || n.exists(_ > 0), "bucket transform needs n > 0")
+  /** The partition tuple key this field contributes, e.g. `source` or
+    * `doc_id_bucket`. */
+  def name: String = transform match {
+    case "identity" => column
+    case "bucket"   => s"${column}_bucket"
+  }
+}
+
 final case class DataFileMeta(
     path: String, // relative to table root
     records: Long,
@@ -39,6 +55,11 @@ final case class DataFileMeta(
     schemaId: Option[Int] = None, // schema version at write time; None = 0
     minSource: Option[String] = None, // footer min/max when `sources` is inexact
     maxSource: Option[String] = None,
+    // Partition tuple of this file under the table's partitionSpec (absent
+    // on files written before the spec existed or on unpartitioned tables).
+    // A partition-aligned write guarantees ONE tuple per file, making
+    // partition pruning exact where stats ranges only approximate.
+    partition: Option[Map[String, String]] = None,
     // Data sequence number (Iceberg-style): the snapshot id of the commit
     // that ADDED this file. An equality-delete file applies only to data
     // files with a strictly smaller sequence — a row re-inserted after the
@@ -48,6 +69,8 @@ final case class DataFileMeta(
     addedSeq: Option[Long] = None) {
   def schemaIdOr0: Int = schemaId.getOrElse(0)
   def seqOr0: Long = addedSeq.getOrElse(0L)
+
+  def partitionValue(name: String): Option[String] = partition.flatMap(_.get(name))
 
   /** May this file contain a row whose source is in `target`? (pruning-safe:
     * returns true when stats can't prove otherwise) */
@@ -130,9 +153,13 @@ final case class TableMetadata(
     currentSchemaId: Option[Int] = None,
     schemaLog: Option[Seq[SchemaVersion]] = None,
     // named refs (absent before the feature existed)
-    refs: Option[Map[String, SnapshotRef]] = None) {
+    refs: Option[Map[String, SnapshotRef]] = None,
+    // declared hidden-partitioning spec (absent = unpartitioned table)
+    partitionSpec: Option[Seq[PartitionField]] = None) {
 
   def refMap: Map[String, SnapshotRef] = refs.getOrElse(Map.empty)
+
+  def spec: Seq[PartitionField] = partitionSpec.getOrElse(Seq.empty)
 
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))

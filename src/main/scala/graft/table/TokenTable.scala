@@ -101,10 +101,35 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val tHi = (nTokHi.toSeq ++ nTokRange.map(_._2)).minOption
     liveFiles(snapshotId).filter { f =>
       dLo.forall(lo => f.maxDocId >= lo) && dHi.forall(hi => f.minDocId <= hi) &&
-      sourceIn.forall(s => f.sourceIntersects(s)) &&
+      // identity-partition value beats stats when recorded (exact, not a range)
+      sourceIn.forall(s => f.partitionValue("source") match {
+        case Some(v) => s.contains(v)
+        case None    => f.sourceIntersects(s)
+      }) &&
       tLo.forall(lo => f.maxNTok >= lo) && tHi.forall(hi => f.minNTok <= hi)
     }
   }
+
+  /** Files that may contain `docId` — doc range stats AND, when the spec
+    * buckets doc_id and the file records its tuple, bucket equality. On a
+    * bucket(doc_id, N)-partitioned table a point lookup reads ~1/N of the
+    * range-matching files; at 10^12 sequences this is the difference between
+    * a key probe and a table scan. */
+  def planFilesForKey(docId: String): Seq[DataFileMeta] = {
+    val bucketFields = meta.spec.filter(f => f.transform == "bucket" && f.column == "doc_id")
+    liveFiles().filter { f =>
+      f.minDocId <= docId && f.maxDocId >= docId &&
+      bucketFields.forall { bf =>
+        f.partitionValue(bf.name).forall(_ == Partitioning.transformValue(bf, docId))
+      }
+    }
+  }
+
+  /** Point lookup through bucket + range pruning (pending MoR deletes
+    * applied like any scan). */
+  def lookup(spark: SparkSession, docId: String): DataFrame =
+    readFiles(spark, planFilesForKey(docId), deletesOf(None))
+      .filter(col("doc_id") === docId)
 
   /** Equality-delete key entries pending on a snapshot (merge-on-read). */
   def deleteEntries(s: Snapshot): Seq[DataFileMeta] =
@@ -284,13 +309,27 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val spark = df.sparkSession
     val stagingDir = new Path(dataDir, jobId)
     val t0 = System.nanoTime()
-    df.write.mode("errorifexists").parquet(stagingDir.toString)
+    val spec = meta.spec
+    if (spec.isEmpty) df.write.mode("errorifexists").parquet(stagingDir.toString)
+    else
+      // Partition-aligned write: derived `_p_*` columns drive partitionBy so
+      // every output file holds exactly ONE partition tuple; the original
+      // data columns stay in the file (identity values are duplicated into
+      // `_p_*`, never moved), so readers are unchanged. The tuple is
+      // recovered from the directory path below and recorded per file.
+      Partitioning.withPartitionCols(df, spec)
+        .write.mode("errorifexists")
+        .partitionBy(spec.map(Partitioning.partitionColName): _*)
+        .parquet(stagingDir.toString)
     val t1 = System.nanoTime()
     val stats = collectStats(spark, fs, root, stagingDir, schema)
       .map(_.copy(schemaId = Some(meta.schemaIdNow)))
+    val stamped =
+      if (spec.isEmpty) stats
+      else stats.map(f => f.copy(partition = Partitioning.partitionFromPath(f.path)))
     if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
       System.err.println(f"STEP write ${(t1 - t0) / 1e6}%.0fms stats ${(System.nanoTime() - t1) / 1e6}%.0fms")
-    stats
+    stamped
   }
 
   /** Stage equality-delete key files (merge-on-read): the distinct doc_id
@@ -645,12 +684,17 @@ object TokenTable {
     StructField("n_tok", IntegerType, nullable = false),
     StructField("source", StringType, nullable = false)))
 
-  def create(spark: SparkSession, rootStr: String, properties: Map[String, String] = Map.empty): TokenTable = {
+  def create(
+      spark: SparkSession, rootStr: String,
+      properties: Map[String, String] = Map.empty,
+      partitionSpec: Seq[PartitionField] = Seq.empty): TokenTable = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(rootStr)
     val fs = root.getFileSystem(conf)
     val metaDir = new Path(root, "metadata")
     require(!fs.exists(new Path(metaDir, "v0.json")), s"table already exists at $rootStr")
+    partitionSpec.foreach(f => require(sequenceSchema.fieldNames.contains(f.column),
+      s"partition field references unknown column '${f.column}'"))
     fs.mkdirs(metaDir)
     fs.mkdirs(new Path(root, "data"))
     val m = TableMetadata(
@@ -660,7 +704,8 @@ object TokenTable {
       sortOrder = Seq.empty,
       currentSnapshotId = None,
       snapshots = Seq.empty,
-      properties = properties)
+      properties = properties,
+      partitionSpec = if (partitionSpec.isEmpty) None else Some(partitionSpec))
     val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}.json")
     writeString(fs, tmp, TableJson.write(m))
     require(fs.rename(tmp, new Path(metaDir, "v0.json")), s"concurrent create at $rootStr")

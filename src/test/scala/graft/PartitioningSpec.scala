@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.SequenceGen
+import graft.maintenance.{Maintenance, ZOrder}
+import graft.table.{Partitioning, PartitionField, TokenTable}
+
+/** Hidden partitioning: partition-aligned writes record one tuple per file,
+  * every rewrite path preserves alignment, and pruning uses exact partition
+  * equality (identity) / bucket equality (point lookups). */
+class PartitioningSpec extends SparkSpec {
+
+  private val spec = Seq(
+    PartitionField("source", "identity"),
+    PartitionField("doc_id", "bucket", Some(4)))
+
+  private def fresh(nDocs: Long = 1000): TokenTable = {
+    val t = TokenTable.create(spark, tmpDir("part") + "/tbl", partitionSpec = spec)
+    val df = SequenceGen.sequences(spark, nDocs).repartition(3, xxhash64(col("doc_id")))
+    t.commit("append", t.stageWrite(df, "seed"))
+    t
+  }
+
+  private def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("tokens")))).head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  test("aligned write: one partition tuple per file, data columns intact") {
+    val t = fresh()
+    val files = t.liveFiles()
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val p = f.partition.getOrElse(fail(s"no partition tuple on ${f.path}"))
+      assert(p.keySet == Set("source", "doc_id_bucket"), s"tuple keys: ${p.keySet}")
+      // identity alignment: recorded tuple matches the file's actual rows
+      assert(f.sources == Seq(p("source")) || f.sources.isEmpty)
+    }
+    // the original source column is still IN the data files (identity is a
+    // duplicate, not a move) and scan returns the canonical schema
+    assert(t.scan(spark).columns.toSeq == Seq("doc_id", "tokens", "n_tok", "source"))
+    // every recorded bucket matches the driver-side transform of actual rows
+    val byFile = t.scan(spark).select(col("doc_id")).collect().map(_.getString(0))
+    val bf = spec(1)
+    files.foreach { f =>
+      val fileRows = t.readFiles(spark, Seq(f), Seq.empty).select("doc_id")
+        .collect().map(_.getString(0))
+      fileRows.foreach { id =>
+        assert(Partitioning.transformValue(bf, id) == f.partition.get("doc_id_bucket"),
+          s"row $id in wrong bucket file ${f.path}")
+      }
+    }
+    assert(byFile.length == 1000)
+  }
+
+  test("compaction and clustering preserve partition tuples and content") {
+    val t = fresh()
+    val before = checksum(t.scan(spark))
+    Maintenance.compact(spark, t, targetFileBytes = 1 << 20,
+      smallFileThreshold = Some(64 << 20))
+    assert(t.liveFiles().forall(_.partition.nonEmpty), "compact lost tuples")
+    Maintenance.cluster(spark, t, ZOrder(Seq("doc_id", "source", "n_tok")),
+      targetFileBytes = 1 << 20)
+    assert(t.liveFiles().forall(_.partition.nonEmpty), "cluster lost tuples")
+    assert(checksum(t.scan(spark)) == before, "maintenance changed content")
+  }
+
+  test("identity pruning is exact; bucket pruning narrows point lookups") {
+    val t = fresh()
+    val live = t.liveFiles()
+    val srcs = live.flatMap(_.partitionValue("source")).distinct
+    assert(srcs.size > 1)
+    val one = t.planFiles(sourceIn = Some(Set(srcs.head)))
+    assert(one.nonEmpty && one.size < live.size)
+    assert(one.forall(_.partitionValue("source").contains(srcs.head)))
+    // scan through the pruned plan returns exactly that source's rows
+    val viaScan = t.scan(spark, sourceIn = Some(Set(srcs.head)))
+    assert(viaScan.filter(col("source") =!= srcs.head).count() == 0)
+    assert(viaScan.count() ==
+      t.scan(spark).filter(col("source") === srcs.head).count())
+    // bucket pruning: only files of the key's bucket (and range) planned
+    val key = "doc%012d".format(123L)
+    val kf = t.planFilesForKey(key)
+    assert(kf.size < live.size, s"planned ${kf.size}/${live.size}")
+    val bf = spec(1)
+    val want = Partitioning.transformValue(bf, key)
+    assert(kf.forall(_.partitionValue("doc_id_bucket").forall(_ == want)))
+    assert(t.lookup(spark, key).count() == 1)
+  }
+
+  test("merge keeps alignment; unpartitioned tables are unaffected") {
+    val t = fresh()
+    val batch = SequenceGen.sequences(spark, 50, seed = 99L)
+      .withColumn("doc_id", concat(lit("zz"), col("doc_id")))
+    Maintenance.mergeInto(spark, t, batch)
+    assert(t.liveFiles().forall(_.partition.nonEmpty))
+    assert(t.scan(spark).filter(col("doc_id").startsWith("zz")).count() == 50)
+    // a spec-less table records no tuples and prunes by stats as before
+    val u = SequenceGen.createTable(spark, tmpDir("nopart") + "/tbl", 200, 2)
+    assert(u.liveFiles().forall(_.partition.isEmpty))
+  }
+
+  test("path value escaping round-trips special characters") {
+    assert(Partitioning.unescapePathValue("web") == "web")
+    assert(Partitioning.unescapePathValue("a%3Db") == "a=b")
+    assert(Partitioning.unescapePathValue("sla%2Fsh") == "sla/sh")
+    assert(Partitioning.partitionFromPath(
+      "data/j1/_p_source=web/_p_doc_id_bucket=3/part-0.parquet")
+      .contains(Map("source" -> "web", "doc_id_bucket" -> "3")))
+    assert(Partitioning.partitionFromPath("data/j1/part-0.parquet").isEmpty)
+  }
+}
