@@ -63,6 +63,7 @@ object SparkEntry {
     "maint_hilbert" -> ((s, d) => MaintPipelines.hilbertRoundtrip(s, d)),
     "maint_merge" -> ((s, d) => MaintPipelines.mergeRoundtrip(s, d)),
     "maint_partitioned" -> ((s, d) => MaintPipelines.partitionedRoundtrip(s, d)),
+    "maint_concurrent_merge" -> ((s, d) => MaintPipelines.concurrentMergeRoundtrip(s, d)),
     "maint_merge_match_only" -> ((s, d) => MaintPipelines.mergeMatchOnlyRoundtrip(s, d)),
     "maint_merge_create" -> ((s, d) => MaintPipelines.mergeCreateRoundtrip(s, d)),
     "maint_hooks" -> ((s, d) => MaintPipelines.mergeHooksRoundtrip(s, d)),
@@ -205,6 +206,7 @@ object SparkEntry {
     // same end state as maint_merge — the partitioned table must converge to
     // identical content; the partition/pruning assertions are inside the query
     "maint_partitioned" -> MaintPipelines.mergeOracle,
+    "maint_concurrent_merge" -> MaintPipelines.concurrentMergeOracle,
     "maint_merge_match_only" -> MaintPipelines.mergeMatchOnlyOracle,
     "maint_merge_create" -> MaintPipelines.mergeCreateOracle,
     "maint_hooks" -> MaintPipelines.mergeHooksOracle,

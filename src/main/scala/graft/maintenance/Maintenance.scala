@@ -264,7 +264,13 @@ object Maintenance {
     val balanced = repartitionByTokenMass(result, nOut,
       Some(touched.map(_.records).sum + batchRows))
 
-    val stepId = s"merge-snap${table.metadata.currentSnapshotId.getOrElse(0L)}-${touchedPaths.hashCode()}"
+    // stepId must be deterministic across reruns (crash-resume finds its
+    // ledger) yet distinct for CONCURRENT merges from the same snapshot with
+    // the same touched set — the canonicalized batch plan hash separates
+    // racing writers without breaking resume (semanticHash normalizes
+    // expression ids, so the same merge re-run after a crash rehashes equal).
+    val planHash = java.lang.Integer.toHexString(batch.queryExecution.analyzed.semanticHash())
+    val stepId = s"merge-snap${table.metadata.currentSnapshotId.getOrElse(0L)}-${touchedPaths.hashCode()}-$planHash"
     val ledger = new Ledger(table, stepId)
     // Per-flush observed counters (the reference's QueryExecutorWithStatistics,
     // nodestream/databases/query_executor_with_statistics.py): an Observation
@@ -293,6 +299,38 @@ object Maintenance {
     debounced.unpersist()
     runPostHooks()
     snap
+  }
+
+  /**
+   * MERGE with optimistic-concurrency retry: on a [[CommitConflictException]]
+   * (a concurrent writer rewrote one of this merge's victim files between
+   * planning and commit) the merge REPLANS from the winner's state — fresh
+   * file list, fresh pruning, fresh join — and tries again, exactly
+   * Iceberg's commit.retry loop. The abandoned attempt's staged files become
+   * orphans collected by removeOrphans. Version-rename races (both writers
+   * produce valid non-conflicting commits) are already retried inside
+   * [[TokenTable.commit]] without replanning; this wrapper handles the
+   * stronger conflict where validation itself fails.
+   */
+  def mergeIntoRetrying(
+      spark: SparkSession,
+      table: TokenTable,
+      batch: DataFrame,
+      rule: CreationRule.Value = CreationRule.Eager,
+      maxAttempts: Int = 5,
+      targetFileBytes: Long = DefaultTargetFileBytes): Snapshot = {
+    var attempt = 1
+    while (true) {
+      try return mergeInto(spark, table, batch, rule, targetFileBytes,
+        extraSummary = Map("merge-attempt" -> attempt.toString))
+      catch {
+        case e: graft.table.CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          table.refresh() // replan against the winning writer's snapshot
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** The batch side of the pruning probe: every batch key mapped to its

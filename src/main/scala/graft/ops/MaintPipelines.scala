@@ -374,6 +374,54 @@ object MaintPipelines {
       col("source"), col("q"))
   }
 
+  /** Update batch over docs with doc_id % 7 == `mod7`, token stream
+    * (mult, m), n = 8 + n_chars % 61 — parameterized so concurrent-writer
+    * tests can race two distinguishable batches. */
+  def updateBatchMod(
+      spark: SparkSession, sfDir: String, mod7: Int, mult: Int, m: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.filter(pmod(col("doc_id"), lit(7)) === mod7)
+      .select(
+        format_string("doc%012d", col("doc_id")).as("doc_id"),
+        col("doc_id").as("_id"),
+        (lit(8) + pmod(col("n_chars"), lit(61))).cast("int").as("n_tok"),
+        col("source"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), col("n_tok") - 1),
+          j => pmod(col("_id") * mult + j, lit(m.toLong)).cast("int")).as("tokens"),
+        col("n_tok"), col("source"))
+  }
+
+  /**
+   * Two writers racing one table: disjoint update batches (doc_id % 7 == 1
+   * and == 4) merge concurrently from two threads. The seed files are
+   * doc-scattered, so BOTH merges touch every file — the loser's commit
+   * validation must fail and [[Maintenance.mergeIntoRetrying]] must replan
+   * against the winner's snapshot and succeed. Both commits are required
+   * (asserted), and the final scan must equal both batches applied in either
+   * order — the optimistic-concurrency contract, end-to-end under the
+   * oracle gate rather than only as a conflict-abort spec.
+   */
+  def concurrentMergeRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = freshTable(spark, sfDir)
+    val snaps0 = t.metadata.snapshots.size
+    val a = updateBatchMod(spark, sfDir, mod7 = 1, mult = 17, m = 40009)
+    val b = updateBatchMod(spark, sfDir, mod7 = 4, mult = 19, m = 30011)
+    val fa = Future(Maintenance.mergeIntoRetrying(spark, t, a))
+    val fb = Future(Maintenance.mergeIntoRetrying(spark, t, b))
+    val sa = Await.result(fa, 10.minutes)
+    val sb = Await.result(fb, 10.minutes)
+    t.refresh()
+    require(t.metadata.snapshots.size == snaps0 + 2,
+      s"expected both merges to commit: ${t.metadata.snapshots.map(_.operation)}")
+    require(Set(sa.snapshotId, sb.snapshotId).size == 2, "merges shared a snapshot id")
+    t.removeOrphans() // abandoned attempts' staged files
+    verifiableScan(spark, t)
+  }
+
   /**
    * Hidden partitioning end-to-end: a table declared
    * identity(source) + bucket(doc_id, 8) is seeded and MERGEd (every write
@@ -533,6 +581,19 @@ object MaintPipelines {
        |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM upd
        |UNION ALL
        |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM ins""".stripMargin
+
+  /** Oracle for the concurrent-merge race: both disjoint update batches
+    * applied, whatever the commit order. */
+  val concurrentMergeOracle: String =
+    s"""WITH base AS (SELECT doc_id, $nTokSql AS n_tok, source FROM documents),
+       |u1 AS (SELECT doc_id, $nTok2Sql AS n_tok, source FROM documents WHERE doc_id % 7 = 1),
+       |u4 AS (SELECT doc_id, $nTok2Sql AS n_tok, source FROM documents WHERE doc_id % 7 = 4)
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source
+       |  FROM base WHERE doc_id % 7 NOT IN (1, 4)
+       |UNION ALL
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source FROM u1
+       |UNION ALL
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 19, 30011)} AS BIGINT) AS tok_sum, source FROM u4""".stripMargin
 
   val tableSourceOracle: String =
     s"""SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source

@@ -367,13 +367,8 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       }
   }
 
-  def writeManifest(files: Seq[DataFileMeta]): ManifestMeta = {
-    val name = s"manifest-${UUID.randomUUID()}.json"
-    writeString(fs, new Path(metadataDir, name), TableJson.write(files))
-    ManifestMeta(name, files.size, files.map(_.records).sum, files.map(_.bytes).sum,
-      minDocId = files.map(_.minDocId).minOption,
-      maxDocId = files.map(_.maxDocId).maxOption)
-  }
+  def writeManifest(files: Seq[DataFileMeta]): ManifestMeta =
+    TokenTable.writeManifestFile(fs, metadataDir, files)
 
   /**
    * Atomically commit a new snapshot replacing `replaced` files with `added`
@@ -421,23 +416,36 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         replaced.nonEmpty && replacedRange.forall { case (lo, hi) => m.mayIntersect(lo, hi) }
       // Validation happens inline with the carry-forward pass: every replaced
       // file must still be live in some read manifest (otherwise a concurrent
-      // maintenance already rewrote it — abort, caller replans).
-      var found = Set.empty[String]
-      val carried: Seq[ManifestMeta] = parent match {
-        case None => Seq.empty
-        case Some(p) =>
-          p.manifests.flatMap { m =>
-            if (!mustRead(m)) Some(m) // provably untouched: carry unread
-            else {
-              val entries = TableJson.readManifest(readString(fs, new Path(metadataDir, m.path)))
-              found ++= entries.iterator.map(_.path).filter(replaced.contains)
-              val kept = entries.filterNot(e => replaced.contains(e.path))
+      // maintenance already rewrote it — abort, caller replans). Manifests
+      // that must be read are rewritten on the driver when few, or by a
+      // Spark job when their combined entry count crosses the distributed
+      // threshold — at 10^6+ files per table a single-threaded driver
+      // parse/rewrite of every touched manifest is the commit bottleneck
+      // (the same wall Iceberg hits and fixes with distributed rewrites).
+      // Manifest order is not semantic (entries are a set; planning reads
+      // all), so carry-unread + rewritten concatenation is safe.
+      val (toCarry, toRead) = parent.map(_.manifests.partition(m => !mustRead(m)))
+        .getOrElse((Seq.empty[ManifestMeta], Seq.empty[ManifestMeta]))
+      val processed: Seq[(Option[ManifestMeta], Set[String])] =
+        if (toRead.isEmpty) Seq.empty
+        else {
+          val session = org.apache.spark.sql.SparkSession.getActiveSession
+          val distributed = session.nonEmpty && toRead.size > 1 &&
+            toRead.map(_.addedFiles.toLong).sum >= distributedManifestThreshold
+          if (distributed) distributedManifestRewrite(session.get, toRead, replaced)
+          else toRead.map { m =>
+            val entries = TableJson.readManifest(readString(fs, new Path(metadataDir, m.path)))
+            val found = entries.iterator.map(_.path).filter(replaced.contains).toSet
+            val kept = entries.filterNot(e => replaced.contains(e.path))
+            val out =
               if (kept.size == entries.size) Some(m) // untouched: carry forward
               else if (kept.isEmpty) None
               else Some(writeManifest(kept))
-            }
+            (out, found)
           }
-      }
+        }
+      val carried: Seq[ManifestMeta] = toCarry ++ processed.flatMap(_._1)
+      val found: Set[String] = processed.iterator.flatMap(_._2).toSet
       val missing = replaced -- found
       if (missing.nonEmpty)
         throw new CommitConflictException(
@@ -515,6 +523,42 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       attempt += 1
     }
     throw new CommitConflictException(s"manifest rewrite lost commit race at $root")
+  }
+
+  /** Combined entry count of touched manifests above which the commit-path
+    * manifest rewrite fans out to a Spark job (table property overridable). */
+  private def distributedManifestThreshold: Long =
+    meta.properties.get("commit.distributed-manifest-threshold").map(_.toLong)
+      .getOrElse(10000L)
+
+  /** Rewrite touched manifests in one Spark job: each task reads ONE
+    * manifest, drops replaced entries, writes the replacement manifest from
+    * the executor, and reports (replacement, replaced-paths-found). The
+    * driver never parses an entry; a retried task can leave an orphan
+    * manifest file, which [[removeOrphans]] collects like any unreferenced
+    * manifest. */
+  private def distributedManifestRewrite(
+      spark: SparkSession, toRead: Seq[ManifestMeta], replaced: Set[String])
+      : Seq[(Option[ManifestMeta], Set[String])] = {
+    val sc = spark.sparkContext
+    val confBc = sc.broadcast(new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
+    val replacedBc = sc.broadcast(replaced)
+    val mdDir = metadataDir.toString
+    val slices = math.max(1, math.min(toRead.size, sc.defaultParallelism * 2))
+    sc.parallelize(toRead, slices).map { m =>
+      val dir = new Path(mdDir)
+      val tfs = dir.getFileSystem(confBc.value.value)
+      val entries = TableJson.readManifest(readString(tfs, new Path(dir, m.path)))
+      val rep = replacedBc.value
+      val found = entries.iterator.map(_.path).filter(rep.contains).toSet
+      val kept = entries.filterNot(e => rep.contains(e.path))
+      val out =
+        if (kept.size == entries.size) Some(m)
+        else if (kept.isEmpty) None
+        else Some(TokenTable.writeManifestFile(tfs, dir, kept))
+      (out, found)
+    }.collect().toSeq
   }
 
   private def tryCommitVersion(version: Int, m: TableMetadata): Boolean = {
@@ -855,6 +899,17 @@ object TokenTable {
         sumNTok = r.getLong(6),
         sources = r.getSeq[String](7).sorted)
     }.sortBy(_.path).toSeq
+  }
+
+  /** Write one manifest file and return its list entry — static so the
+    * distributed commit path can run it inside executor tasks. */
+  private[table] def writeManifestFile(
+      fs: FileSystem, metadataDir: Path, files: Seq[DataFileMeta]): ManifestMeta = {
+    val name = s"manifest-${UUID.randomUUID()}.json"
+    writeString(fs, new Path(metadataDir, name), TableJson.write(files))
+    ManifestMeta(name, files.size, files.map(_.records).sum, files.map(_.bytes).sum,
+      minDocId = files.map(_.minDocId).minOption,
+      maxDocId = files.map(_.maxDocId).maxOption)
   }
 
   /** doc_id hull of a file set — the `replacedRange` hint for [[TokenTable.commit]]. */

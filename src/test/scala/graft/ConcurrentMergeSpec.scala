@@ -1,0 +1,44 @@
+package graft
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.SequenceGen
+import graft.maintenance.Maintenance
+
+/** Optimistic concurrency end-to-end: two writers race disjoint update
+  * batches into one table; the loser's conflict must replan (not abort, not
+  * double-apply) so BOTH land. Complements the conflict-abort path already
+  * pinned in TokenTableSpec. */
+class ConcurrentMergeSpec extends SparkSpec {
+
+  test("two racing merges both commit via replan-retry; content = both applied") {
+    val t = SequenceGen.createTable(spark, tmpDir("race") + "/tbl", 2000, 6)
+    val snaps0 = t.metadata.snapshots.size
+    // disjoint halves, both touching every scattered seed file
+    def upd(half: Int, src: String) = t.scan(spark)
+      .filter(pmod(xxhash64(col("doc_id")), lit(2)) === half)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), lit(src).as("source"))
+      .localCheckpoint() // pin the batch BEFORE the races mutate the table
+    val a = upd(0, "ra")
+    val b = upd(1, "rb")
+    val na = a.count(); val nb = b.count()
+    assert(na > 0 && nb > 0 && na + nb == 2000)
+    val fa = Future(Maintenance.mergeIntoRetrying(spark, t, a))
+    val fb = Future(Maintenance.mergeIntoRetrying(spark, t, b))
+    val sa = Await.result(fa, 5.minutes)
+    val sb = Await.result(fb, 5.minutes)
+    t.refresh()
+    assert(t.metadata.snapshots.size == snaps0 + 2, "both merges must commit")
+    assert(sa.snapshotId != sb.snapshotId)
+    val bySrc = t.scan(spark).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("ra" -> na, "rb" -> nb), s"got $bySrc")
+    // the loser's abandoned staging is GC-able, never referenced
+    t.removeOrphans()
+    assert(t.scan(spark).count() == 2000)
+  }
+}
