@@ -51,6 +51,62 @@ final class IterableStreamConnector[T](batches: Iterator[Seq[T]]) extends Stream
   override def disconnect(): Unit = connected = false
 }
 
+/**
+ * A REAL unbounded connector: tails a spool directory for newly-arriving
+ * files and emits their lines — the classic log-shipping feed (flume/
+ * filebeat-style), and the second implementation that proves the trait
+ * against something genuinely unbounded (files keep arriving while the
+ * drain runs; an empty poll means "nothing new yet", exactly the
+ * reference's Flush signal). Producers must land files atomically
+ * (write-temp-then-rename, the universal spool-dir contract); files are
+ * consumed whole, once, in (name) order — the name carries the ordering,
+ * like a Kafka offset.
+ */
+final class DirectoryTailConnector(
+    dir: java.nio.file.Path,
+    suffix: String = ".jsonl",
+    // an empty poll BLOCKS this long before returning, like
+    // `consumer.poll(timeout)` — without it an idle drain loop would spin
+    // through its empty-poll budget in microseconds
+    pollWaitMs: Long = 50L) extends StreamConnector[String] {
+  private var connected = false
+  private val consumed = scala.collection.mutable.Set[String]()
+  private val buffer = scala.collection.mutable.Queue.empty[String]
+  /** Polls that returned at least one record (observability for tests/ops). */
+  @volatile var pollsWithData: Int = 0
+
+  override def connect(): Unit = {
+    require(java.nio.file.Files.isDirectory(dir), s"$dir is not a directory")
+    connected = true
+  }
+
+  override def poll(maxRecords: Int): Seq[String] = {
+    require(connected, "poll() before connect()")
+    if (buffer.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      val fresh = {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(suffix) &&
+            !consumed.contains(p.getFileName.toString))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally s.close()
+      }
+      fresh.foreach { p =>
+        buffer.enqueueAll(java.nio.file.Files.readAllLines(p).asScala)
+        consumed += p.getFileName.toString
+      }
+    }
+    val out = Seq.fill(math.min(maxRecords, buffer.size))(buffer.dequeue())
+    if (out.nonEmpty) pollsWithData += 1
+    else if (pollWaitMs > 0) Thread.sleep(pollWaitMs)
+    out
+  }
+
+  override def disconnect(): Unit = connected = false
+}
+
 object StreamConnector {
 
   /**

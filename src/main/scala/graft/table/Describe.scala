@@ -1,0 +1,100 @@
+package graft.table
+
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Human-readable printers for table state — the engine's analogue of the
+ * reference's schema printers (`nodestream print schema` with plain /
+ * GraphQL / cypher-esque renderers, reference
+ * nodestream/schema/printers/schema_printer.py:10-28 and siblings): a table
+ * format is operated by humans, and `describe`-style text is the operator
+ * UX for "what is this table right now".
+ *
+ * Three surfaces: the current schema (plain and DDL flavors, with field ids
+ * and the partition spec), the snapshot history (one line per snapshot with
+ * refs attached), and the outstanding migration plan.
+ */
+object Describe {
+
+  /** Plain schema rendering: one line per column with its stable field id,
+    * then partition spec, sort order and properties. */
+  def schema(t: TokenTable): String = {
+    val m = t.metadata
+    val cur = m.schemaVersion(m.schemaIdNow)
+    val st = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    val sb = new StringBuilder
+    sb ++= s"table ${m.tableUuid} (format v${m.formatVersion}, schema ${cur.schemaId})\n"
+    st.fields.foreach { f =>
+      val id = cur.fieldIds.getOrElse(f.name, -1)
+      val req = if (f.nullable) "" else " NOT NULL"
+      sb ++= f"  $id%3d: ${f.name}%-12s ${f.dataType.sql}$req%s\n"
+    }
+    if (m.spec.nonEmpty)
+      sb ++= m.spec.map(f => f.transform match {
+        case "identity" => f.column
+        case "bucket"   => s"bucket(${f.column}, ${f.n.get})"
+      }).mkString("partitioned by: [", ", ", "]\n")
+    if (m.sortOrder.nonEmpty) sb ++= s"sorted by: ${m.sortOrder.mkString(", ")}\n"
+    m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => sb ++= s"property $k = $v\n" }
+    sb.result()
+  }
+
+  /** DDL-flavor schema (the "second renderer" the reference ships as
+    * GraphQL; for a lakehouse table SQL DDL is the lingua franca). */
+  def schemaDdl(t: TokenTable, name: String = "token_table"): String = {
+    val m = t.metadata
+    val st = t.schema
+    val cols = st.fields.map(f =>
+      s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
+    val part =
+      if (m.spec.isEmpty) ""
+      else m.spec.map(f => f.transform match {
+        case "identity" => f.column
+        case "bucket"   => s"bucket(${f.n.get}, ${f.column})"
+      }).mkString("\nPARTITIONED BY (", ", ", ")")
+    s"CREATE TABLE $name (\n${cols.mkString(",\n")}\n)$part"
+  }
+
+  /** Snapshot history, oldest first: id, parent, operation, timestamp,
+    * manifest/file/record counts, pending delete files, and any refs
+    * pointing at the snapshot. The current snapshot is starred. */
+  def history(t: TokenTable): String = {
+    val m = t.metadata
+    val refsBySnap: Map[Long, Seq[String]] = m.refMap.toSeq
+      .groupBy(_._2.snapshotId)
+      .view.mapValues(_.map { case (n, r) => s"$n(${r.kind})" }.sorted).toMap
+    val sb = new StringBuilder
+    sb ++= "snapshot  parent    operation            timestamp-ms    files  records  deletes  refs\n"
+    m.snapshots.sortBy(_.snapshotId).foreach { s =>
+      val cur = if (m.currentSnapshotId.contains(s.snapshotId)) "*" else " "
+      val files = s.manifests.map(_.addedFiles).sum
+      val records = s.manifests.map(_.records).sum
+      val dels = s.deletes.map(_.addedFiles).sum
+      val refs = refsBySnap.getOrElse(s.snapshotId, Seq.empty).mkString(",")
+      sb ++= f"$cur${s.snapshotId}%-9d ${s.parentId.map(_.toString).getOrElse("-")}%-9s " +
+        f"${s.operation}%-20s ${s.timestampMs}%-15d $files%-6d $records%-8d $dels%-8d $refs%s\n"
+    }
+    sb.result()
+  }
+
+  /** The outstanding migration plan against a graph: applied names checked
+    * off, pending ones in execution order with their operations. */
+  def migrationPlan(t: TokenTable, graph: MigrationGraph): String = {
+    val done = Migrator.completed(t)
+    val plan = graph.orderedPlan(done)
+    val planned = plan.map(_.name).toSet
+    val sb = new StringBuilder
+    graph.topologicalOrder.foreach { mg =>
+      val mark =
+        if (done.contains(mg.name)) "[x]"
+        else if (planned.contains(mg.name)) "[ ]"
+        else "[-]" // skipped (e.g. replaced by a squash, or member already ran)
+      val deps = if (mg.dependencies.isEmpty) "" else s" <- ${mg.dependencies.sorted.mkString(", ")}"
+      sb ++= s"$mark ${mg.name}$deps\n"
+      if (planned.contains(mg.name))
+        mg.operations.foreach(op => sb ++= s"      $op\n")
+    }
+    sb ++= s"${plan.size} to apply, ${done.intersect(graph.byName.keySet).size} applied\n"
+    sb.result()
+  }
+}

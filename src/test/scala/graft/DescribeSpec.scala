@@ -1,0 +1,70 @@
+package graft
+
+import graft.gen.SequenceGen
+import graft.table._
+
+/** Printer output is operator UX: pin the load-bearing lines (field ids,
+  * partition spec, starred current snapshot, refs, plan checkboxes) rather
+  * than byte-exact layout. */
+class DescribeSpec extends SparkSpec {
+
+  test("schema printer: field ids, partition spec, properties; DDL flavor") {
+    val t = TokenTable.create(spark, tmpDir("describe") + "/tbl",
+      properties = Map("owner" -> "graft"),
+      partitionSpec = Seq(
+        PartitionField("source", "identity"),
+        PartitionField("doc_id", "bucket", Some(8))))
+    val s = Describe.schema(t)
+    assert(s.contains("doc_id") && s.contains("STRING NOT NULL"))
+    assert(s.contains("tokens") && s.contains("ARRAY<INT>"))
+    assert(s.contains("partitioned by: [source, bucket(doc_id, 8)]"))
+    assert(s.contains("property owner = graft"))
+    val ddl = Describe.schemaDdl(t, "seqs")
+    assert(ddl.startsWith("CREATE TABLE seqs ("))
+    assert(ddl.contains("PARTITIONED BY (source, bucket(8, doc_id))"))
+  }
+
+  test("schema printer shows evolved field ids stable under rename") {
+    val t = SequenceGen.createTable(spark, tmpDir("describe-ev") + "/tbl", 100, 2)
+    t.evolveSchema(Seq(AddColumn("quality", "DOUBLE")))
+    t.evolveSchema(Seq(RenameColumn("quality", "q")))
+    val s = Describe.schema(t)
+    // the renamed column keeps its field id (4 = first added after the 4 base)
+    assert(s.contains(": q") && s.contains("schema 2"), s)
+    val idLine = s.linesIterator.find(_.contains(": q")).get
+    assert(idLine.trim.startsWith("4:"), idLine)
+  }
+
+  test("history printer: one line per snapshot, current starred, refs attached") {
+    val t = SequenceGen.createTable(spark, tmpDir("describe-h") + "/tbl", 100, 2)
+    t.setRef("prod", t.metadata.currentSnapshotId.get, "tag")
+    t.commit("append", t.stageWrite(
+      SequenceGen.sequences(spark, 10, 7L)
+        .withColumn("doc_id", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("x"),
+          org.apache.spark.sql.functions.col("doc_id"))), "h2"))
+    val h = Describe.history(t)
+    val lines = h.linesIterator.toSeq
+    assert(lines.head.startsWith("snapshot"))
+    assert(lines.count(_.contains("append")) == 2)
+    assert(lines.exists(l => l.contains("prod(tag)")), h)
+    assert(lines.count(_.startsWith("*")) == 1)
+    assert(lines.find(_.startsWith("*")).get.contains("2"), h)
+  }
+
+  test("migration plan printer: applied checked, pending ordered, squash skip marked") {
+    val t = SequenceGen.createTable(spark, tmpDir("describe-m") + "/tbl", 100, 2)
+    val m1 = Migration("m1_add", Seq(AddColumn("quality", "DOUBLE")), Nil)
+    val m2 = Migration("m2_ren", Seq(RenameColumn("quality", "q")), Seq("m1_add"))
+    val sq = Migration.squash("s_all", Seq(m1, m2))
+    val graph = MigrationGraph(Map(m1.name -> m1, m2.name -> m2, sq.name -> sq))
+    val before = Describe.migrationPlan(t, graph)
+    assert(before.contains("[ ] s_all"), before)   // squash runs
+    assert(before.contains("[-] m1_add"), before)  // members skipped
+    assert(before.contains("0 applied"), before)
+    Migrator.migrate(t, graph)
+    val after = Describe.migrationPlan(t, graph)
+    assert(after.contains("[x] s_all"), after)
+    assert(after.contains("0 to apply"), after)
+  }
+}

@@ -104,4 +104,48 @@ class IncrementalSpec extends SparkSpec {
     val ids = t.metadata.snapshots.flatMap(_.summary.get("stream-batch-id"))
     assert(ids.distinct.size == 3)
   }
+
+  test("DirectoryTailConnector: live appends across polls, Flush-commit per poll") {
+    import spark.implicits._
+    import graft.streaming.{DirectoryTailConnector, StreamConnector}
+    val spool = java.nio.file.Paths.get(tmpDir("spool"))
+    val root = tmpDir("tail-stream")
+    val t = TokenTable.create(spark, s"$root/tbl")
+    // producer thread: land files atomically (tmp + rename) WHILE the drain
+    // runs — the connector must keep discovering them across polls
+    def land(name: String, lines: Seq[String]): Unit = {
+      val tmp = spool.resolve(s".$name.tmp")
+      java.nio.file.Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, spool.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    land("b000.jsonl", Seq("t1,2,web", "t2,1,code"))
+    val producer = new Thread(() => {
+      Thread.sleep(400); land("b001.jsonl", Seq("t3,3,web"))
+      Thread.sleep(400); land("b002.jsonl", Seq("t4,1,books", "t5,2,code"))
+    })
+    producer.start()
+    val conn = new DirectoryTailConnector(spool)
+    val n = StreamConnector.drain[String](
+      spark, conn,
+      ds => Incremental.streamAppend(
+        ds.map { line =>
+          val Array(id, nt, src) = line.split(',')
+          (id, (1 to nt.toInt).map(_ => 7), nt.toInt, src)
+        }.toDF("doc_id", "tokens", "n_tok", "source"),
+        s"$root/tbl", tmpDir("tail-ckpt"),
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)),
+      maxRecords = 100,
+      // idle budget 40 x 50ms = 2s, comfortably past the producer's 400ms gaps
+      maxConsecutiveEmptyPolls = 40)
+    producer.join()
+    assert(n == 5, s"drained $n")
+    assert(conn.pollsWithData >= 3, s"data arrived in ${conn.pollsWithData} polls")
+    t.refresh()
+    assert(t.scan(spark).count() == 5)
+    assert(t.scan(spark).filter($"doc_id" === "t4").select("n_tok").head().getInt(0) == 1)
+    // one committed micro-batch per non-empty poll (Flush == commit)
+    val ids2 = t.metadata.snapshots.flatMap(_.summary.get("stream-batch-id"))
+    assert(ids2.distinct.size == conn.pollsWithData, s"$ids2 vs ${conn.pollsWithData}")
+  }
 }
