@@ -1,7 +1,5 @@
 package graft.maintenance
 
-import org.apache.hadoop.fs.Path
-
 import graft.table.{DataFileMeta, TableJson, TokenTable}
 
 /**
@@ -17,27 +15,24 @@ import graft.table.{DataFileMeta, TableJson, TokenTable}
  * cleared after the final snapshot commit.
  */
 final class Ledger(table: TokenTable, stepId: String) {
-  private val fs = table.fs
-  private val dir = new Path(table.metadataDir, s"ledger/$stepId")
+  // All blobs go through the table's checkpoint ObjectStore — HMAC-signed
+  // when the table declares `checkpoint.hmac-key-base64` (the reference's
+  // SignedObjectStore contract): a tampered ledger unit fails verification
+  // on resume instead of silently steering which work is skipped.
+  private val store = ObjectStore.forTable(table)
+  private val prefix = s"ledger/$stepId"
 
-  def completedUnits(): Map[String, Seq[DataFileMeta]] = {
-    if (!fs.exists(dir)) return Map.empty
-    fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
-      .map { st =>
-        val unit = st.getPath.getName.stripSuffix(".json")
-        unit -> TableJson.readManifest(TokenTable.readString(fs, st.getPath))
+  def completedUnits(): Map[String, Seq[DataFileMeta]] =
+    store.list(prefix)
+      .filter(_.endsWith(".json"))
+      .map { key =>
+        val unit = key.split('/').last.stripSuffix(".json")
+        unit -> TableJson.readManifest(
+          new String(store.get(key).getOrElse(Array.emptyByteArray), "UTF-8"))
       }.toMap
-  }
 
-  def record(unitId: String, files: Seq[DataFileMeta]): Unit = {
-    fs.mkdirs(dir)
-    val tmp = new Path(dir, s".$unitId.tmp")
-    TokenTable.writeString(fs, tmp, TableJson.write(files), overwrite = true)
-    val dst = new Path(dir, s"$unitId.json")
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"ledger record failed for $unitId")
-  }
+  def record(unitId: String, files: Seq[DataFileMeta]): Unit =
+    store.put(s"$prefix/$unitId.json", TableJson.write(files).getBytes("UTF-8"))
 
-  def clear(): Unit = if (fs.exists(dir)) fs.delete(dir, true)
+  def clear(): Unit = store.deleteAll(prefix)
 }

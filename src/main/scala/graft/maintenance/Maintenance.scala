@@ -261,8 +261,16 @@ object Maintenance {
     val (batchBytes, batchRows) = estimateBatch(touched, live, debounced)
     val outBytes = touched.map(_.bytes).sum + batchBytes
     val nOut = math.max(1, math.ceil(outBytes.toDouble / targetFileBytes).toInt)
-    val balanced = repartitionByTokenMass(result, nOut,
-      Some(touched.map(_.records).sum + batchRows))
+    // Partitioned tables distribute the rewrite by partition TUPLE (each
+    // write task holds few tuples, so the aligned partitionBy write
+    // parallelizes instead of one task emitting every partition directory
+    // serially); unpartitioned tables keep the token-mass doc_id ranges.
+    val balanced =
+      if (table.metadata.spec.nonEmpty)
+        graft.table.Partitioning.distributeByPartition(result, table.metadata.spec,
+          math.max(nOut, spark.sessionState.conf.numShufflePartitions))
+      else repartitionByTokenMass(result, nOut,
+        Some(touched.map(_.records).sum + batchRows))
 
     // stepId must be deterministic across reruns (crash-resume finds its
     // ledger) yet distinct for CONCURRENT merges from the same snapshot with

@@ -424,7 +424,7 @@ object MaintPipelines {
 
   /**
    * Hidden partitioning end-to-end: a table declared
-   * identity(source) + bucket(doc_id, 8) is seeded and MERGEd (every write
+   * identity(source) + bucket(doc_id, 4) is seeded and MERGEd (every write
    * path must stay partition-aligned and record per-file tuples), then
    * partition pruning is asserted — a source filter plans only that source's
    * files (exact partition equality, not a stats range) and a doc_id point
@@ -438,9 +438,12 @@ object MaintPipelines {
     val root = java.nio.file.Files.createTempDirectory("graft-part").toString
     val spec = Seq(
       PartitionField("source", "identity"),
-      PartitionField("doc_id", "bucket", Some(8)))
+      PartitionField("doc_id", "bucket", Some(4)))
     val t = TokenTable.create(spark, s"$root/tbl", partitionSpec = spec)
-    val df = tokensFromDocs(spark, sfDir).repartition(4, xxhash64(col("doc_id")))
+    // partition-aware write distribution: cluster rows by partition tuple so
+    // each write task holds few tuples (bounded partitionBy fan-out)
+    val df = graft.table.Partitioning.distributeByPartition(
+      tokensFromDocs(spark, sfDir), spec, nOut = 8)
     t.commit("append", t.stageWrite(df, "seed"))
     require(t.liveFiles().forall(_.partition.exists(p =>
       p.contains("source") && p.contains("doc_id_bucket"))),
@@ -457,8 +460,10 @@ object MaintPipelines {
     require(oneSrc.nonEmpty && oneSrc.size < live.size &&
       oneSrc.forall(_.partitionValue("source").contains(srcs.head)),
       s"source pruning failed: ${oneSrc.size}/${live.size} files")
-    // bucket pruning: a point lookup plans at most the key's bucket
-    val key = t.scan(spark).select(min(col("doc_id"))).head.getString(0)
+    // bucket pruning: a point lookup plans at most the key's bucket. The
+    // global min doc_id comes from file stats (footer-exact post-merge), so
+    // no scan is needed to pick a live key.
+    val key = live.map(_.minDocId).min
     val keyFiles = t.planFilesForKey(key)
     require(keyFiles.size < live.size, s"bucket pruning planned ${keyFiles.size}/${live.size}")
     require(t.lookup(spark, key).count() == 1, "point lookup lost the row")

@@ -23,12 +23,15 @@ object Incremental {
     * store — nodestream ObjectStore analogue,
     * reference nodestream/pipeline/object_storage.py:143-344). */
   final class SnapshotCursor(table: TokenTable, consumer: String) {
-    private val path = new Path(table.metadataDir, s"cursor-$consumer.text")
+    // through the table's checkpoint ObjectStore: HMAC-signed when the table
+    // declares `checkpoint.hmac-key-base64` — a forged cursor would silently
+    // skip (or replay) every file between the true and forged positions
+    private val store = graft.maintenance.ObjectStore.forTable(table)
+    private val key = s"cursor-$consumer.text"
     def get(): Option[Long] =
-      if (table.fs.exists(path)) Some(TokenTable.readString(table.fs, path).trim.toLong)
-      else None
+      store.get(key).map(b => new String(b, "UTF-8").trim.toLong)
     def set(snapshotId: Long): Unit =
-      TokenTable.writeString(table.fs, path, snapshotId.toString, overwrite = true)
+      store.put(key, snapshotId.toString.getBytes("UTF-8"))
   }
 
   /** Data files present in the current snapshot but not in `sinceSnapshot`
