@@ -77,6 +77,29 @@ object Describe {
     sb.result()
   }
 
+  /** Per-partition-tuple summary of the live file set: files, records,
+    * bytes per tuple, plus files predating the current spec (no tuple). */
+  def partitions(t: TokenTable): String = {
+    val live = t.liveFiles()
+    val m = t.metadata
+    val sb = new StringBuilder
+    if (m.spec.isEmpty) sb ++= "table is unpartitioned\n"
+    else sb ++= m.spec.map(f => f.transform match {
+      case "identity" => f.column
+      case "bucket"   => s"bucket(${f.column}, ${f.n.get})"
+    }).mkString("spec: [", ", ", "]\n")
+    val (tupled, untupled) = live.partition(_.partition.nonEmpty)
+    tupled.groupBy(_.partition.get).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).map(_._2).mkString("/"))
+      .foreach { case (tuple, fs) =>
+        val key = tuple.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+        sb ++= f"  $key%-40s files=${fs.size}%-5d records=${fs.map(_.records).sum}%-9d bytes=${fs.map(_.bytes).sum}%d\n"
+      }
+    if (untupled.nonEmpty)
+      sb ++= s"  (pre-spec, stats-pruned only)            files=${untupled.size}\n"
+    sb.result()
+  }
+
   /** The outstanding migration plan against a graph: applied names checked
     * off, pending ones in execution order with their operations. */
   def migrationPlan(t: TokenTable, graph: MigrationGraph): String = {

@@ -311,16 +311,24 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val t0 = System.nanoTime()
     val spec = meta.spec
     if (spec.isEmpty) df.write.mode("errorifexists").parquet(stagingDir.toString)
-    else
+    else {
       // Partition-aligned write: derived `_p_*` columns drive partitionBy so
       // every output file holds exactly ONE partition tuple; the original
       // data columns stay in the file (identity values are duplicated into
       // `_p_*`, never moved), so readers are unchanged. The tuple is
       // recovered from the directory path below and recorded per file.
-      Partitioning.withPartitionCols(df, spec)
+      // sortWithinPartitions(_p.. , doc_id): the dynamic-partition writer
+      // requires rows sorted by partition expressions — pre-sorting with
+      // doc_id as a tiebreaker satisfies that requirement (no second sort)
+      // AND keeps each file's doc range narrow for stats pruning.
+      val stamped = Partitioning.withPartitionCols(df, spec)
+      val sortCols = spec.map(f => col(Partitioning.partitionColName(f))) ++
+        (if (df.columns.contains("doc_id")) Seq(col("doc_id")) else Seq.empty)
+      stamped.sortWithinPartitions(sortCols: _*)
         .write.mode("errorifexists")
         .partitionBy(spec.map(Partitioning.partitionColName): _*)
         .parquet(stagingDir.toString)
+    }
     val t1 = System.nanoTime()
     val stats = collectStats(spark, fs, root, stagingDir, schema)
       .map(_.copy(schemaId = Some(meta.schemaIdNow)))
@@ -634,6 +642,21 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         s"snapshot $snapshotId is not an ancestor of the current main line — " +
           "rollback cannot publish branch-only commits (publish via fastForward)")
       base.copy(currentSnapshotId = Some(snapshotId))
+    }
+
+  /** Declare or change the partition spec (metadata-only, Iceberg-style
+    * spec evolution): existing files keep the tuples they were written
+    * under; new writes align to the new spec. Pruning is per-FILE-tuple, so
+    * mixed generations coexist safely — a file without a current-spec tuple
+    * key simply isn't partition-prunable and falls back to its stats ranges
+    * (conservative, never wrong). A later compaction rewrites old files
+    * through the aligned writer, migrating them to the new spec. */
+  def evolvePartitionSpec(spec: Seq[PartitionField]): TableMetadata =
+    updateMeta { base =>
+      val fields = DataType.fromJson(base.schemaJson).asInstanceOf[StructType].fieldNames
+      spec.foreach(f => require(fields.contains(f.column),
+        s"partition field references unknown column '${f.column}'"))
+      base.copy(partitionSpec = if (spec.isEmpty) None else Some(spec))
     }
 
   private def updateMeta(f: TableMetadata => TableMetadata): TableMetadata = {

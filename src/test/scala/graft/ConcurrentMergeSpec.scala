@@ -15,6 +15,25 @@ import graft.maintenance.Maintenance
   * pinned in TokenTableSpec. */
 class ConcurrentMergeSpec extends SparkSpec {
 
+  test("stale-planned merge conflicts deterministically; the retry replans and lands") {
+    val root = tmpDir("stale") + "/tbl"
+    val t1 = SequenceGen.createTable(spark, root, 1000, 4)
+    val t2 = graft.table.TokenTable.load(spark, root) // second writer handle
+    // writer 2 rewrites every file while writer 1's plan state is stale
+    Maintenance.compact(spark, t2, targetFileBytes = 1 << 20,
+      smallFileThreshold = Some(64 << 20))
+    val batch = SequenceGen.sequences(spark, 100) // same ids => updates
+      .select(col("doc_id"), col("tokens"), col("n_tok"), lit("upd").as("source"))
+    // plain merge planned from t1's stale snapshot must conflict, not corrupt
+    intercept[graft.table.CommitConflictException] {
+      Maintenance.mergeInto(spark, t1, batch)
+    }
+    // the retrying merge replans against the compacted snapshot and lands
+    Maintenance.mergeIntoRetrying(spark, t1, batch)
+    assert(t1.scan(spark).filter(col("source") === "upd").count() == 100)
+    assert(t1.scan(spark).count() == 1000)
+  }
+
   test("two racing merges both commit via replan-retry; content = both applied") {
     val t = SequenceGen.createTable(spark, tmpDir("race") + "/tbl", 2000, 6)
     val snaps0 = t.metadata.snapshots.size

@@ -101,6 +101,46 @@ class PartitioningSpec extends SparkSpec {
     assert(u.liveFiles().forall(_.partition.isEmpty))
   }
 
+  test("spec evolution: old files stay stats-pruned, new writes align, compaction migrates") {
+    // start unpartitioned
+    val t = SequenceGen.createTable(spark, tmpDir("part-evolve") + "/tbl", 600, 3)
+    assert(t.liveFiles().forall(_.partition.isEmpty))
+    val before = checksum(t.scan(spark))
+    // declare the spec (metadata-only)
+    t.evolvePartitionSpec(spec)
+    // new append aligns to the new spec; old files keep no tuple
+    val extra = SequenceGen.sequences(spark, 50, seed = 5L)
+      .withColumn("doc_id", concat(lit("y"), col("doc_id")))
+    t.commit("append", t.stageWrite(extra, "post-spec"))
+    val live = t.liveFiles()
+    assert(live.exists(_.partition.nonEmpty) && live.exists(_.partition.isEmpty))
+    // mixed generations scan correctly; source pruning stays CORRECT
+    // (pre-spec files fall back to stats and are never wrongly dropped)
+    val srcs = t.scan(spark).select("source").distinct().collect().map(_.getString(0))
+    // scan pruning is FILE-level (callers apply the row filter): the pruned
+    // file set must still contain every matching row
+    srcs.foreach { s =>
+      assert(t.scan(spark, sourceIn = Some(Set(s))).filter(col("source") === s).count() ==
+        t.scan(spark).filter(col("source") === s).count(), s"pruning dropped rows for $s")
+    }
+    // a full re-cluster migrates every file onto the new spec
+    graft.maintenance.Maintenance.compact(spark, t, targetFileBytes = 1 << 20,
+      smallFileThreshold = None)
+    assert(t.liveFiles().forall(_.partition.nonEmpty), "compaction did not migrate spec")
+    assert(t.scan(spark).count() == before._1 + 50)
+    // printers reflect the partition layout
+    val p = graft.table.Describe.partitions(t)
+    assert(p.contains("spec: [source, bucket(doc_id, 4)]"), p)
+    assert(p.contains("source="), p)
+  }
+
+  test("unknown column in an evolved spec is rejected") {
+    val t = SequenceGen.createTable(spark, tmpDir("part-evolve-bad") + "/tbl", 100, 2)
+    intercept[IllegalArgumentException] {
+      t.evolvePartitionSpec(Seq(graft.table.PartitionField("nope", "identity")))
+    }
+  }
+
   test("path value escaping round-trips special characters") {
     assert(Partitioning.unescapePathValue("web") == "web")
     assert(Partitioning.unescapePathValue("a%3Db") == "a=b")
