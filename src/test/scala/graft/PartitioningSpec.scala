@@ -141,6 +141,29 @@ class PartitioningSpec extends SparkSpec {
     }
   }
 
+  test("nasty identity values survive Spark's partition-dir escaping end-to-end") {
+    // values Spark must escape in directory names: space, '=', '/', ':',
+    // '%' — the recorded tuple must equal the original value and pruning
+    // must stay exact. (Non-ASCII values additionally require a UTF-8
+    // filesystem locale — an environment property, not an escaping one.)
+    val nastySources = Seq("web crawl", "a=b", "pct%20", "colon:v", "sla/sh")
+    val t = TokenTable.create(spark, tmpDir("part-nasty") + "/tbl",
+      partitionSpec = Seq(PartitionField("source", "identity")))
+    import spark.implicits._
+    val rows = (0 until 100).map(i =>
+      (f"doc$i%012d", Seq(1, 2, i), 3, nastySources(i % nastySources.size)))
+    val df = rows.toDF("doc_id", "tokens", "n_tok", "source").repartition(2)
+    t.commit("append", t.stageWrite(df, "seed"))
+    val recorded = t.liveFiles().flatMap(_.partitionValue("source")).toSet
+    assert(recorded == nastySources.toSet, s"tuples mangled: $recorded")
+    nastySources.foreach { s =>
+      val pruned = t.planFiles(sourceIn = Some(Set(s)))
+      assert(pruned.nonEmpty && pruned.forall(_.partitionValue("source").contains(s)))
+      assert(t.readFiles(spark, pruned, Seq.empty)
+        .filter(col("source") === s).count() == 20, s"rows lost for '$s'")
+    }
+  }
+
   test("path value escaping round-trips special characters") {
     assert(Partitioning.unescapePathValue("web") == "web")
     assert(Partitioning.unescapePathValue("a%3Db") == "a=b")
