@@ -230,8 +230,14 @@ object Bench {
     // plausible pairs' normalized ratios (capped at 1 like the headline). The
     // best pair is the cleanest-windows argument; the median is what a
     // skeptical reader takes — the north-rule claim is made on the median.
+    // In the no-plausible-pair case the median is reported UNCAPPED over the
+    // rejected pairs: capping would turn the worst evidence (every pair
+    // physically impossible) into a perfect 1.0 — exactly the laundering the
+    // implausible_only flag exists to prevent.
     val effMedian = {
-      val sorted = usable.map(p => math.min(p.normalized, 1.0)).sorted
+      val sorted = usable
+        .map(p => if (implausibleOnly) p.normalized else math.min(p.normalized, 1.0))
+        .sorted
       val n = sorted.length
       if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
     }

@@ -25,10 +25,13 @@ final class Ledger(table: TokenTable, stepId: String) {
   def completedUnits(): Map[String, Seq[DataFileMeta]] =
     store.list(prefix)
       .filter(_.endsWith(".json"))
-      .map { key =>
-        val unit = key.split('/').last.stripSuffix(".json")
-        unit -> TableJson.readManifest(
-          new String(store.get(key).getOrElse(Array.emptyByteArray), "UTF-8"))
+      .flatMap { key =>
+        // a unit deleted between list and get (concurrent clear) is simply
+        // absent — never fabricated as an empty completed unit
+        store.get(key).map { bytes =>
+          key.split('/').last.stripSuffix(".json") ->
+            TableJson.readManifest(new String(bytes, "UTF-8"))
+        }
       }.toMap
 
   def record(unitId: String, files: Seq[DataFileMeta]): Unit =

@@ -101,14 +101,22 @@ object Maintenance {
           outs
       }
     }
-    val snap = table.commit(
-      operation, staged, victims.map(_.path).toSet,
-      summary = Map(
-        "layout" -> layout.describe,
-        "target-file-bytes" -> targetFileBytes.toString,
-        "input-files" -> victims.size.toString,
-        "input-records" -> victims.map(_.records).sum.toString),
-      replacedRange = TokenTable.docRange(victims))
+    val snap =
+      try table.commit(
+        operation, staged, victims.map(_.path).toSet,
+        summary = Map(
+          "layout" -> layout.describe,
+          "target-file-bytes" -> targetFileBytes.toString,
+          "input-files" -> victims.size.toString,
+          "input-records" -> victims.map(_.records).sum.toString),
+        replacedRange = TokenTable.docRange(victims))
+      catch {
+        case e: graft.table.CommitConflictException =>
+          // stale victim set: a replanned compact gets a new stepId, so the
+          // abandoned ledger would leak forever — clear it now
+          ledger.clear()
+          throw e
+      }
     ledger.clear()
     Some(snap)
   }
@@ -261,15 +269,18 @@ object Maintenance {
     val (batchBytes, batchRows) = estimateBatch(touched, live, debounced)
     val outBytes = touched.map(_.bytes).sum + batchBytes
     val nOut = math.max(1, math.ceil(outBytes.toDouble / targetFileBytes).toInt)
-    // Partitioned tables distribute the rewrite by partition TUPLE (each
-    // write task holds few tuples, so the aligned partitionBy write
-    // parallelizes instead of one task emitting every partition directory
-    // serially); unpartitioned tables keep the token-mass doc_id ranges.
+    // Partitioned tables distribute the rewrite by partition TUPLE + a
+    // doc_id-hash salt sized so (tuples x salt) ~ nOut: each write task
+    // holds few tuples (bounded partitionBy fan-out), a skewed tuple splits
+    // across salt tasks/files, and targetFileBytes sizing is honored.
+    // Unpartitioned tables keep the token-mass doc_id ranges.
     val balanced =
-      if (table.metadata.spec.nonEmpty)
+      if (table.metadata.spec.nonEmpty) {
+        val tuples = math.max(1, touched.flatMap(_.partition).distinct.size)
+        val salt = math.max(1, math.ceil(nOut.toDouble / tuples).toInt)
         graft.table.Partitioning.distributeByPartition(result, table.metadata.spec,
-          math.max(nOut, spark.sessionState.conf.numShufflePartitions))
-      else repartitionByTokenMass(result, nOut,
+          math.max(nOut, spark.sessionState.conf.numShufflePartitions), salt)
+      } else repartitionByTokenMass(result, nOut,
         Some(touched.map(_.records).sum + batchRows))
 
     // stepId must be deterministic across reruns (crash-resume finds its
@@ -299,10 +310,20 @@ object Maintenance {
       outs
     })
     Failpoints.hit("merge.before-commit")
-    val snap = table.commit("merge", staged, touchedPaths,
-      summary = Map("rule" -> rule.toString.toLowerCase,
-        "touched-files" -> touched.size.toString) ++ observed ++ extraSummary,
-      replacedRange = TokenTable.docRange(touched))
+    val snap =
+      try table.commit("merge", staged, touchedPaths,
+        summary = Map("rule" -> rule.toString.toLowerCase,
+          "touched-files" -> touched.size.toString) ++ observed ++ extraSummary,
+        replacedRange = TokenTable.docRange(touched))
+      catch {
+        case e: graft.table.CommitConflictException =>
+          // a conflicted plan can NEVER commit (its victim set is stale):
+          // clear its ledger so the abandoned attempt is not a resume trap
+          // and does not leak metadata on high-contention tables; its staged
+          // files are plain orphans for removeOrphans
+          ledger.clear(); debounced.unpersist()
+          throw e
+      }
     ledger.clear()
     debounced.unpersist()
     runPostHooks()

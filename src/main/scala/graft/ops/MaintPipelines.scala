@@ -446,7 +446,7 @@ object MaintPipelines {
       tokensFromDocs(spark, sfDir), spec, nOut = 8)
     t.commit("append", t.stageWrite(df, "seed"))
     require(t.liveFiles().forall(_.partition.exists(p =>
-      p.contains("source") && p.contains("doc_id_bucket"))),
+      p.contains("source") && p.contains("doc_id_bucket4"))),
       "staged file missing its partition tuple")
     // the rewrite path must keep alignment: MERGE rewrites touched files
     // through the same partition-aligned stageWrite

@@ -93,7 +93,12 @@ final class DirectoryTailConnector(
           .toSeq.sortBy(_.getFileName.toString)
         finally s.close()
       }
-      fresh.foreach { p =>
+      // ONE file per refill: buffered memory is bounded by the largest
+      // single spool file, never by a backlog of files — a deep backlog
+      // drains across successive polls. (`consumed` holds one NAME per file
+      // for the connector's lifetime — bytes per file, the same order of
+      // state as a broker's offset map.)
+      fresh.headOption.foreach { p =>
         buffer.enqueueAll(java.nio.file.Files.readAllLines(p).asScala)
         consumed += p.getFileName.toString
       }

@@ -52,12 +52,20 @@ object Partitioning {
 
   /** The driver-side value form: the partition value a row with `value` in
     * the field's column lands in (string rendering matches the column form's
-    * directory name). */
-  def transformValue(f: PartitionField, value: String): String = f.transform match {
+    * directory name). `dataType` must be the column's type — the bucket hash
+    * for an integral column is `value % n` in BOTH forms, while a string
+    * column polynomial-hashes; passing the wrong type would disagree with
+    * the column form and prune wrongly. */
+  def transformValue(
+      f: PartitionField, value: String,
+      dataType: org.apache.spark.sql.types.DataType = StringType): String = f.transform match {
     case "identity" => value
-    case "bucket" =>
+    case "bucket" if dataType == StringType =>
       (graft.functions.TextHash.polyHash(
         UTF8String.fromString(value), 131, graft.functions.TextHash.P1) % f.n.get).toString
+    case "bucket" =>
+      // mirrors the column form's pmod(cast long, n) for integral columns
+      (((value.toLong % f.n.get) + f.n.get) % f.n.get).toString
   }
 
   /** Stamp the spec's `_p_*` columns onto a frame (no-op for empty spec). */
@@ -70,13 +78,20 @@ object Partitioning {
     * `.../_p_source=web/_p_doc_id_bucket=3/part-0.parquet` →
     * Map(source -> web, doc_id_bucket -> 3). Returns None when the path
     * carries no partition directories. */
+  /** Spark's directory name for a null/empty dynamic-partition value. A
+    * tuple entry with this sentinel is dropped (recorded as "value unknown")
+    * rather than stored verbatim: exact-match pruning against the literal
+    * sentinel would silently hide every empty-valued row from pruned scans,
+    * while an absent entry falls back to stats — conservative, never wrong. */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
   def partitionFromPath(relPath: String): Option[Map[String, String]] = {
     val kvs = relPath.split('/').toSeq.flatMap { seg =>
       val eq = seg.indexOf('=')
       if (seg.startsWith(ColPrefix) && eq > ColPrefix.length)
         Some(seg.substring(ColPrefix.length, eq) -> unescapePathValue(seg.substring(eq + 1)))
       else None
-    }
+    }.filterNot(_._2 == HiveDefaultPartition)
     if (kvs.isEmpty) None else Some(kvs.toMap)
   }
 
@@ -87,12 +102,19 @@ object Partitioning {
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val hex = s.substring(i + 1, i + 3)
-        try { out.write(Integer.parseInt(hex, 16)); i += 3 }
-        catch { case _: NumberFormatException => out.write(c.toInt); i += 1 }
-      } else { out.write(s.substring(i, i + 1).getBytes("UTF-8")); i += 1 }
+      if (s.charAt(i) == '%' && i + 2 < s.length &&
+          scala.util.Try(Integer.parseInt(s.substring(i + 1, i + 3), 16)).isSuccess) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        // copy the whole raw run up to the next '%' in ONE getBytes call —
+        // per-UTF-16-unit conversion would split surrogate pairs and mangle
+        // supplementary-plane characters into '?'
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != '%') j += 1
+        out.write(s.substring(i, j).getBytes("UTF-8"))
+        i = j
+      }
     }
     new String(out.toByteArray, "UTF-8")
   }
@@ -100,11 +122,25 @@ object Partitioning {
   /** Cluster a frame by its partition tuple before writing (partition-aware
     * write distribution): each write task then holds few partition values,
     * so `partitionBy` fan-out stays bounded instead of every task writing a
-    * file per value. */
-  def distributeByPartition(df: DataFrame, spec: Seq[PartitionField], nOut: Int): DataFrame = {
+    * file per value. `saltBuckets > 1` adds a doc_id-hash salt to the
+    * distribution key: without it parallelism is capped at the distinct
+    * tuple count and each tuple lands as ONE file however large — a skewed
+    * tuple would OOM its single task at scale. With salt s, a tuple splits
+    * across up to s tasks/files, so file sizing (nOut/targetFileBytes) is
+    * honored again. */
+  def distributeByPartition(
+      df: DataFrame, spec: Seq[PartitionField], nOut: Int,
+      saltBuckets: Int = 1): DataFrame = {
     if (spec.isEmpty) return df
     val stamped = withPartitionCols(df, spec)
-    stamped.repartition(nOut, spec.map(f => col(partitionColName(f))): _*)
+    val salt =
+      if (saltBuckets > 1 && df.columns.contains("doc_id"))
+        Seq(pmod(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.CharPolyHash(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("doc_id")),
+            137, graft.functions.TextHash.P2)), lit(saltBuckets.toLong)))
+      else Seq.empty
+    stamped.repartition(nOut, spec.map(f => col(partitionColName(f))) ++ salt: _*)
       .drop(spec.map(partitionColName): _*)
   }
 }

@@ -33,10 +33,14 @@ final case class PartitionField(column: String, transform: String, n: Option[Int
   require(transform == "identity" || transform == "bucket", s"unknown transform '$transform'")
   require(transform != "bucket" || n.exists(_ > 0), "bucket transform needs n > 0")
   /** The partition tuple key this field contributes, e.g. `source` or
-    * `doc_id_bucket`. */
+    * `doc_id_bucket8`. The bucket count is PART of the key: after
+    * evolvePartitionSpec changes n, files written under the old spec carry a
+    * differently-named tuple entry, so pruning against the new spec finds no
+    * value and falls back to stats (conservative) instead of comparing a
+    * hash%4 value against a hash%8 expectation (silently wrong). */
   def name: String = transform match {
     case "identity" => column
-    case "bucket"   => s"${column}_bucket"
+    case "bucket"   => s"${column}_bucket${n.get}"
   }
 }
 

@@ -117,10 +117,14 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * a key probe and a table scan. */
   def planFilesForKey(docId: String): Seq[DataFileMeta] = {
     val bucketFields = meta.spec.filter(f => f.transform == "bucket" && f.column == "doc_id")
+    val docIdType = schema("doc_id").dataType
     liveFiles().filter { f =>
       f.minDocId <= docId && f.maxDocId >= docId &&
+      // spec evolution safety: the tuple key carries the bucket count, so a
+      // file written under a different n records a different key name,
+      // partitionValue is None, and the file is conservatively included
       bucketFields.forall { bf =>
-        f.partitionValue(bf.name).forall(_ == Partitioning.transformValue(bf, docId))
+        f.partitionValue(bf.name).forall(_ == Partitioning.transformValue(bf, docId, docIdType))
       }
     }
   }

@@ -33,7 +33,7 @@ class PartitioningSpec extends SparkSpec {
     assert(files.nonEmpty)
     files.foreach { f =>
       val p = f.partition.getOrElse(fail(s"no partition tuple on ${f.path}"))
-      assert(p.keySet == Set("source", "doc_id_bucket"), s"tuple keys: ${p.keySet}")
+      assert(p.keySet == Set("source", "doc_id_bucket4"), s"tuple keys: ${p.keySet}")
       // identity alignment: recorded tuple matches the file's actual rows
       assert(f.sources == Seq(p("source")) || f.sources.isEmpty)
     }
@@ -47,7 +47,7 @@ class PartitioningSpec extends SparkSpec {
       val fileRows = t.readFiles(spark, Seq(f), Seq.empty).select("doc_id")
         .collect().map(_.getString(0))
       fileRows.foreach { id =>
-        assert(Partitioning.transformValue(bf, id) == f.partition.get("doc_id_bucket"),
+        assert(Partitioning.transformValue(bf, id) == f.partition.get("doc_id_bucket4"),
           s"row $id in wrong bucket file ${f.path}")
       }
     }
@@ -85,7 +85,7 @@ class PartitioningSpec extends SparkSpec {
     assert(kf.size < live.size, s"planned ${kf.size}/${live.size}")
     val bf = spec(1)
     val want = Partitioning.transformValue(bf, key)
-    assert(kf.forall(_.partitionValue("doc_id_bucket").forall(_ == want)))
+    assert(kf.forall(_.partitionValue("doc_id_bucket4").forall(_ == want)))
     assert(t.lookup(spark, key).count() == 1)
   }
 
@@ -132,6 +132,59 @@ class PartitioningSpec extends SparkSpec {
     val p = graft.table.Describe.partitions(t)
     assert(p.contains("spec: [source, bucket(doc_id, 4)]"), p)
     assert(p.contains("source="), p)
+  }
+
+  test("bucket-count evolution cannot hide rows: old tuples fall back to stats") {
+    // regression (review): tuples carry the bucket count in their key, so a
+    // file recorded under bucket4 is NOT compared against a bucket8
+    // expectation — it is conservatively included
+    val t = fresh(400)
+    t.evolvePartitionSpec(Seq(
+      PartitionField("source", "identity"),
+      PartitionField("doc_id", "bucket", Some(8))))
+    // every pre-evolution row is still findable through the pruned lookup
+    (0 until 400 by 37).foreach { i =>
+      val key = "doc%012d".format(i.toLong)
+      assert(t.lookup(spark, key).count() == 1, s"lookup lost $key after bucket evolution")
+    }
+    // a post-evolution append records bucket8 tuples; lookups prune with them
+    val extra = SequenceGen.sequences(spark, 20, seed = 9L)
+      .withColumn("doc_id", concat(lit("n"), col("doc_id")))
+    t.commit("append", t.stageWrite(extra, "b8"))
+    assert(t.liveFiles().exists(_.partitionValue("doc_id_bucket8").nonEmpty))
+    val nKey = t.liveFiles().filter(_.partitionValue("doc_id_bucket8").nonEmpty)
+      .map(_.minDocId).min
+    assert(t.lookup(spark, nKey).count() == 1)
+  }
+
+  test("empty identity values map to the Hive sentinel and stay visible to pruned scans") {
+    // regression (review): Spark writes empty/null partition values as
+    // __HIVE_DEFAULT_PARTITION__; recording that sentinel verbatim would
+    // make planFiles' exact match hide every empty-valued row
+    val t = TokenTable.create(spark, tmpDir("part-empty") + "/tbl",
+      partitionSpec = Seq(PartitionField("source", "identity")))
+    import spark.implicits._
+    val df = Seq(
+      ("d1", Seq(1), 1, ""), ("d2", Seq(2), 1, "web"), ("d3", Seq(3), 1, ""))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    t.commit("append", t.stageWrite(df, "seed"))
+    // files holding empty-source rows record NO source tuple entry
+    val emptyFiles = t.planFiles(sourceIn = Some(Set("")))
+    assert(t.readFiles(spark, emptyFiles, Seq.empty)
+      .filter(col("source") === "").count() == 2, "empty-source rows hidden from pruned scan")
+    // non-empty pruning still exact where tuples exist
+    val webFiles = t.planFiles(sourceIn = Some(Set("web")))
+    assert(t.readFiles(spark, webFiles, Seq.empty)
+      .filter(col("source") === "web").count() == 1)
+  }
+
+  test("unescape preserves supplementary-plane characters adjacent to escapes") {
+    // regression (review): per-UTF-16-unit byte conversion split surrogate
+    // pairs into '?' — runs between '%' escapes must convert whole
+    assert(Partitioning.unescapePathValue("a%3Db😀") == "a=b😀")
+    assert(Partitioning.unescapePathValue("😀%20x") == "😀 x")
+    assert(Partitioning.unescapePathValue("%zzkeep") == "%zzkeep") // bad hex stays raw
+    assert(Partitioning.unescapePathValue("tail%") == "tail%")
   }
 
   test("unknown column in an evolved spec is rejected") {
