@@ -187,6 +187,23 @@ class PartitioningSpec extends SparkSpec {
     assert(Partitioning.unescapePathValue("tail%") == "tail%")
   }
 
+  test("merge-on-read deletes interact cleanly with partition alignment") {
+    val t = fresh(500)
+    val before = t.scan(spark).count()
+    // MoR delete stages key files only (no partition alignment needed: keys
+    // are not data files), scans apply them, materialize rewrites ALIGNED
+    val snap = Maintenance.deleteWhereMor(spark, t,
+      Maintenance.NTokGreaterThan(4000))
+    assert(snap.nonEmpty)
+    val afterDelete = t.scan(spark).count()
+    assert(afterDelete < before)
+    Maintenance.materializeDeletes(spark, t)
+    assert(t.metadata.currentSnapshot.forall(_.deletes.isEmpty))
+    assert(t.liveFiles().forall(_.partition.nonEmpty),
+      "materializeDeletes output lost partition tuples")
+    assert(t.scan(spark).count() == afterDelete)
+  }
+
   test("unknown column in an evolved spec is rejected") {
     val t = SequenceGen.createTable(spark, tmpDir("part-evolve-bad") + "/tbl", 100, 2)
     intercept[IllegalArgumentException] {
