@@ -204,6 +204,24 @@ class PartitioningSpec extends SparkSpec {
     assert(t.scan(spark).count() == afterDelete)
   }
 
+  test("partitioned compact crash-resumes without recompute and keeps tuples") {
+    import graft.maintenance.{Failpoints, SortBy}
+    val t = fresh(800)
+    val before = checksum(t.scan(spark))
+    Failpoints.armAt("compact.after-chunk", 1)
+    intercept[Failpoints.InjectedFailure] {
+      Maintenance.compact(spark, t, SortBy(Seq("doc_id")),
+        targetFileBytes = 1 << 20, smallFileThreshold = Some(64 << 20), chunks = 2)
+    }
+    Failpoints.reset()
+    // the crashed run staged chunk 0 and recorded it; the re-run must reuse
+    // it (ledger) and the committed result must keep content + tuples
+    Maintenance.compact(spark, t, SortBy(Seq("doc_id")),
+      targetFileBytes = 1 << 20, smallFileThreshold = Some(64 << 20), chunks = 2)
+    assert(checksum(t.scan(spark)) == before, "resume changed content")
+    assert(t.liveFiles().forall(_.partition.nonEmpty), "resume lost partition tuples")
+  }
+
   test("unknown column in an evolved spec is rejected") {
     val t = SequenceGen.createTable(spark, tmpDir("part-evolve-bad") + "/tbl", 100, 2)
     intercept[IllegalArgumentException] {
