@@ -37,6 +37,12 @@ object GraftFunctions {
   /** Column API: JMESPath-subset extraction (see [[JmesPath]]). */
   def json_path(json: Column, path: String): Column = JmesPath.jsonPath(json, path)
 
+  /** Column API: the portable polynomial char hash (native [[CharPolyHash]]
+    * expression) — shared by fingerprinting, bucket partitioning and salt
+    * derivation so no call site repeats the Column↔Expression bridging. */
+  def char_poly_hash(c: Column, base: Long, mod: Long): Column =
+    ExpressionUtils.column(CharPolyHash(ExpressionUtils.expression(c), base, mod))
+
   /** Register zorder_key / hilbert_key / json_path for SQL. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -64,9 +64,9 @@ final class FsObjectStore(fs: FileSystem, root: Path) extends ObjectStore {
   override def list(prefix: String): Seq[String] = {
     val dir = pathOf(prefix)
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.filter(_.isFile)
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
       .map(st => s"$prefix/${st.getPath.getName}")
-      .filterNot(_.split('/').last.startsWith("."))
   }
 
   override def deleteAll(prefix: String): Unit = {
@@ -99,30 +99,26 @@ final class NamespacedObjectStore(inner: ObjectStore, prefix: String) extends Ob
 final class HmacSigner(key: Array[Byte]) {
   require(key.nonEmpty, "empty HMAC key")
 
-  private def digest(data: Array[Byte]): Array[Byte] = {
+  /** Hex HMAC-SHA256 of `data` as UTF-8 bytes (always 64 bytes). */
+  private def digestHex(data: Array[Byte]): Array[Byte] = {
     val mac = javax.crypto.Mac.getInstance("HmacSHA256")
     mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
-    mac.doFinal(data)
+    mac.doFinal(data).map("%02x".format(_)).mkString.getBytes("UTF-8")
   }
 
   /** Wire format: hex(signature) + '\n' + data. (The reference concatenates
     * the RAW digest before the newline separator; hex keeps the separator
     * unambiguous — a raw SHA-256 digest can itself contain 0x0a.) */
-  def sign(data: Array[Byte]): Array[Byte] = {
-    val sigHex = digest(data).map("%02x".format(_)).mkString.getBytes("UTF-8")
-    sigHex ++ Array('\n'.toByte) ++ data
-  }
+  def sign(data: Array[Byte]): Array[Byte] =
+    digestHex(data) ++ Array('\n'.toByte) ++ data
 
   /** Verify and strip the signature; constant-time compare. */
   def verify(blob: Array[Byte]): Array[Byte] = {
     val nl = blob.indexOf('\n'.toByte)
     if (nl != 64) throw new InvalidSignatureException("malformed signed object")
-    val sigHex = new String(blob.slice(0, nl), "UTF-8")
     val data = blob.drop(nl + 1)
-    val expected = digest(data).map("%02x".format(_)).mkString
-    if (!java.security.MessageDigest.isEqual(
-        sigHex.getBytes("UTF-8"), expected.getBytes("UTF-8")))
-      throw new InvalidSignatureException(s"checkpoint signature mismatch")
+    if (!java.security.MessageDigest.isEqual(blob.slice(0, nl), digestHex(data)))
+      throw new InvalidSignatureException("checkpoint signature mismatch")
     data
   }
 }

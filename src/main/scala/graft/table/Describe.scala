@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.StructType
  */
 object Describe {
 
+  /** Render one partition field, e.g. `source` or `bucket(doc_id, 8)`. */
+  private def fieldSpec(f: PartitionField): String = f.transform match {
+    case "identity" => f.column
+    case "bucket"   => s"bucket(${f.column}, ${f.n.get})"
+  }
+
   /** Plain schema rendering: one line per column with its stable field id,
     * then partition spec, sort order and properties. */
   def schema(t: TokenTable): String = {
@@ -30,10 +36,7 @@ object Describe {
       sb ++= f"  $id%3d: ${f.name}%-12s ${f.dataType.sql}$req%s\n"
     }
     if (m.spec.nonEmpty)
-      sb ++= m.spec.map(f => f.transform match {
-        case "identity" => f.column
-        case "bucket"   => s"bucket(${f.column}, ${f.n.get})"
-      }).mkString("partitioned by: [", ", ", "]\n")
+      sb ++= m.spec.map(fieldSpec).mkString("partitioned by: [", ", ", "]\n")
     if (m.sortOrder.nonEmpty) sb ++= s"sorted by: ${m.sortOrder.mkString(", ")}\n"
     m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => sb ++= s"property $k = $v\n" }
     sb.result()
@@ -84,10 +87,7 @@ object Describe {
     val m = t.metadata
     val sb = new StringBuilder
     if (m.spec.isEmpty) sb ++= "table is unpartitioned\n"
-    else sb ++= m.spec.map(f => f.transform match {
-      case "identity" => f.column
-      case "bucket"   => s"bucket(${f.column}, ${f.n.get})"
-    }).mkString("spec: [", ", ", "]\n")
+    else sb ++= m.spec.map(fieldSpec).mkString("spec: [", ", ", "]\n")
     val (tupled, untupled) = live.partition(_.partition.nonEmpty)
     tupled.groupBy(_.partition.get).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).map(_._2).mkString("/"))

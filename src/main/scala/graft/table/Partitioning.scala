@@ -43,10 +43,8 @@ object Partitioning {
       case "bucket" =>
         val n = f.n.get
         if (dataType == StringType)
-          pmod(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-            graft.functions.CharPolyHash(
-              org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(f.column)),
-              131, graft.functions.TextHash.P1)), lit(n.toLong))
+          pmod(graft.functions.GraftFunctions.char_poly_hash(
+            col(f.column), 131, graft.functions.TextHash.P1), lit(n.toLong))
         else pmod(col(f.column).cast("long"), lit(n.toLong))
     }
 
@@ -74,10 +72,6 @@ object Partitioning {
       d.withColumn(partitionColName(f), transformCol(f, df.schema(f.column).dataType))
     }
 
-  /** Parse a staged file's partition tuple from its relative path —
-    * `.../_p_source=web/_p_doc_id_bucket=3/part-0.parquet` →
-    * Map(source -> web, doc_id_bucket -> 3). Returns None when the path
-    * carries no partition directories. */
   /** Spark's directory name for a null/empty dynamic-partition value. A
     * tuple entry with this sentinel is dropped (recorded as "value unknown")
     * rather than stored verbatim: exact-match pruning against the literal
@@ -85,6 +79,10 @@ object Partitioning {
     * while an absent entry falls back to stats — conservative, never wrong. */
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Parse a staged file's partition tuple from its relative path —
+    * `.../_p_source=web/_p_doc_id_bucket4=3/part-0.parquet` →
+    * Map(source -> web, doc_id_bucket4 -> 3). Returns None when the path
+    * carries no partition directories. */
   def partitionFromPath(relPath: String): Option[Map[String, String]] = {
     val kvs = relPath.split('/').toSeq.flatMap { seg =>
       val eq = seg.indexOf('=')
@@ -102,9 +100,12 @@ object Partitioning {
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 2 < s.length &&
-          scala.util.Try(Integer.parseInt(s.substring(i + 1, i + 3), 16)).isSuccess) {
-        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+      val hexByte =
+        if (s.charAt(i) == '%' && i + 2 < s.length)
+          scala.util.Try(Integer.parseInt(s.substring(i + 1, i + 3), 16)).toOption
+        else None
+      if (hexByte.nonEmpty) {
+        out.write(hexByte.get)
         i += 3
       } else {
         // copy the whole raw run up to the next '%' in ONE getBytes call —
@@ -135,10 +136,8 @@ object Partitioning {
     val stamped = withPartitionCols(df, spec)
     val salt =
       if (saltBuckets > 1 && df.columns.contains("doc_id"))
-        Seq(pmod(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.functions.CharPolyHash(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("doc_id")),
-            137, graft.functions.TextHash.P2)), lit(saltBuckets.toLong)))
+        Seq(pmod(graft.functions.GraftFunctions.char_poly_hash(
+          col("doc_id"), 137, graft.functions.TextHash.P2), lit(saltBuckets.toLong)))
       else Seq.empty
     stamped.repartition(nOut, spec.map(f => col(partitionColName(f))) ++ salt: _*)
       .drop(spec.map(partitionColName): _*)

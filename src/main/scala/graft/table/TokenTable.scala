@@ -445,16 +445,8 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
           val distributed = session.nonEmpty && toRead.size > 1 &&
             toRead.map(_.addedFiles.toLong).sum >= distributedManifestThreshold
           if (distributed) distributedManifestRewrite(session.get, toRead, replaced)
-          else toRead.map { m =>
-            val entries = TableJson.readManifest(readString(fs, new Path(metadataDir, m.path)))
-            val found = entries.iterator.map(_.path).filter(replaced.contains).toSet
-            val kept = entries.filterNot(e => replaced.contains(e.path))
-            val out =
-              if (kept.size == entries.size) Some(m) // untouched: carry forward
-              else if (kept.isEmpty) None
-              else Some(writeManifest(kept))
-            (out, found)
-          }
+          else toRead.map(m =>
+            TokenTable.rewriteManifestEntries(fs, metadataDir, m, replaced))
         }
       val carried: Seq[ManifestMeta] = toCarry ++ processed.flatMap(_._1)
       val found: Set[String] = processed.iterator.flatMap(_._2).toSet
@@ -560,16 +552,8 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val slices = math.max(1, math.min(toRead.size, sc.defaultParallelism * 2))
     sc.parallelize(toRead, slices).map { m =>
       val dir = new Path(mdDir)
-      val tfs = dir.getFileSystem(confBc.value.value)
-      val entries = TableJson.readManifest(readString(tfs, new Path(dir, m.path)))
-      val rep = replacedBc.value
-      val found = entries.iterator.map(_.path).filter(rep.contains).toSet
-      val kept = entries.filterNot(e => rep.contains(e.path))
-      val out =
-        if (kept.size == entries.size) Some(m)
-        else if (kept.isEmpty) None
-        else Some(TokenTable.writeManifestFile(tfs, dir, kept))
-      (out, found)
+      TokenTable.rewriteManifestEntries(
+        dir.getFileSystem(confBc.value.value), dir, m, replacedBc.value)
     }.collect().toSeq
   }
 
@@ -937,6 +921,23 @@ object TokenTable {
     ManifestMeta(name, files.size, files.map(_.records).sum, files.map(_.bytes).sum,
       minDocId = files.map(_.minDocId).minOption,
       maxDocId = files.map(_.maxDocId).maxOption)
+  }
+
+  /** One manifest's carry-forward step: read, drop replaced entries, write
+    * the replacement when changed. Returns (carried/replacement manifest,
+    * replaced paths found). Static and pure so the driver loop and the
+    * distributed commit path share it verbatim. */
+  private[table] def rewriteManifestEntries(
+      fs: FileSystem, metadataDir: Path, m: ManifestMeta,
+      replaced: Set[String]): (Option[ManifestMeta], Set[String]) = {
+    val entries = TableJson.readManifest(readString(fs, new Path(metadataDir, m.path)))
+    val found = entries.iterator.map(_.path).filter(replaced.contains).toSet
+    val kept = entries.filterNot(e => replaced.contains(e.path))
+    val out =
+      if (kept.size == entries.size) Some(m) // untouched: carry forward
+      else if (kept.isEmpty) None
+      else Some(writeManifestFile(fs, metadataDir, kept))
+    (out, found)
   }
 
   /** doc_id hull of a file set — the `replacedRange` hint for [[TokenTable.commit]]. */
