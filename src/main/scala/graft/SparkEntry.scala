@@ -81,6 +81,7 @@ object SparkEntry {
     "maint_incremental" -> ((s, d) => MaintPipelines.incrementalRoundtrip(s, d)),
     "maint_stream_append" -> ((s, d) => MaintPipelines.streamAppendRoundtrip(s, d)),
     "maint_stream_merge" -> ((s, d) => MaintPipelines.streamMergeRoundtrip(s, d)),
+    "maint_stream_merge_mor" -> ((s, d) => MaintPipelines.streamMergeMorRoundtrip(s, d)),
     "stream_window_counts" -> (Q.streamWindowCounts _),
     "stream_dedup" -> (Q.streamDedup _),
     // dedup
@@ -221,6 +222,8 @@ object SparkEntry {
     // micro-batched MERGE converges to the one-shot MERGE state (ops are
     // doc-disjoint), so the oracle is the merge oracle verbatim
     "maint_stream_merge" -> MaintPipelines.mergeOracle,
+    // MoR streaming converges to the same end state as the one-shot merge
+    "maint_stream_merge_mor" -> MaintPipelines.mergeOracle,
     "maint_delete" -> MaintPipelines.deleteOracle,
     "stream_dedup" ->
       "SELECT event_id, user_id, event_type, value FROM events",

@@ -78,8 +78,18 @@ object Maintenance {
     val done = ledger.completedUnits()
 
     // First-fit-decreasing bin packing of victims into ~target-size bins,
-    // then round-robin bins into resumable chunks.
-    val bins = binPack(victims, targetFileBytes)
+    // then round-robin bins into resumable chunks. On a partitioned table
+    // victims are grouped by partition tuple FIRST and packed within each
+    // group (Iceberg's per-partition binpack): a cross-tuple bin would be
+    // re-split per tuple by the aligned writer anyway, so mixing tuples in
+    // one bin leaves the small-file fragmentation it was meant to fix.
+    // Groups are ordered by their min path so chunk composition — and with
+    // it the resume ledger — stays deterministic.
+    val bins =
+      if (table.metadata.spec.isEmpty) binPack(victims, targetFileBytes)
+      else victims.groupBy(_.partition).values.toSeq
+        .sortBy(_.map(_.path).min)
+        .flatMap(group => binPack(group, targetFileBytes))
     val chunkGroups: Seq[(String, Seq[DataFileMeta])] =
       bins.zipWithIndex
         .groupBy(_._2 % math.max(1, math.min(chunks, bins.size)))
@@ -201,22 +211,7 @@ object Maintenance {
       postHooks.foreach(spark.sql(_).collect())
     }
 
-    val withSeq =
-      if (batch.columns.contains("_seq")) batch
-      else batch.withColumn("_seq", lit(0L).cast(LongType))
-    val withOp =
-      if (withSeq.columns.contains("_op")) withSeq
-      else withSeq.withColumn("_op", lit("upsert"))
-
-    // Debounce: deterministic last-write-wins via max_by on (_seq, content).
-    val debounced = withOp
-      .groupBy(col("doc_id"))
-      .agg(max_by(
-        struct(col("tokens"), col("n_tok"), col("source"), col("_op")),
-        struct(col("_seq"), col("n_tok"), col("tokens"))).as("_r"))
-      .select(col("doc_id"), col("_r.tokens").as("tokens"), col("_r.n_tok").as("n_tok"),
-        col("_r.source").as("source"), col("_r._op").as("_op"))
-      .cache()
+    val debounced = debounceBatch(batch).cache()
 
     if (rule == CreationRule.Create) {
       // Blind append — no join, no file rewrite.
@@ -328,6 +323,60 @@ object Maintenance {
     debounced.unpersist()
     runPostHooks()
     snap
+  }
+
+  /** Deterministic last-write-wins debounce per doc_id via max_by on
+    * (_seq, content) — shared by the CoW and MoR merge paths. Missing `_seq`
+    * defaults to 0, missing `_op` to 'upsert'. */
+  private def debounceBatch(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val withSeq =
+      if (batch.columns.contains("_seq")) batch
+      else batch.withColumn("_seq", lit(0L).cast(LongType))
+    val withOp =
+      if (withSeq.columns.contains("_op")) withSeq
+      else withSeq.withColumn("_op", lit("upsert"))
+    withOp
+      .groupBy(col("doc_id"))
+      .agg(max_by(
+        struct(col("tokens"), col("n_tok"), col("source"), col("_op")),
+        struct(col("_seq"), col("n_tok"), col("tokens"))).as("_r"))
+      .select(col("doc_id"), col("_r.tokens").as("tokens"), col("_r.n_tok").as("n_tok"),
+        col("_r.source").as("source"), col("_r._op").as("_op"))
+  }
+
+  /**
+   * Merge-on-read MERGE: the batch commits as equality-delete keys for every
+   * batch doc_id PLUS an append of the surviving upsert rows — ONE snapshot,
+   * O(batch) work however large the table, where copy-on-write [[mergeInto]]
+   * is O(touched file bytes). Sequence numbers make it correct: the staged
+   * keys and the appended file share the commit's sequence and a delete
+   * applies only to STRICTLY lower sequences, so the batch's own rows
+   * survive while every older version of a batch key is masked; `_op =
+   * 'delete'` rows contribute a key and no row. Scans pay the anti-join
+   * until compaction or [[materializeDeletes]] retires the keys — exactly
+   * Iceberg's MoR upsert trade, and the right streaming-ingest shape at
+   * 10^12 sequences (a CoW merge per micro-batch would rewrite the same hot
+   * files every few seconds). Eager semantics only (update + insert);
+   * the doc_id-unique table invariant of [[deleteWhereMor]] applies.
+   */
+  def mergeMor(
+      spark: SparkSession,
+      table: TokenTable,
+      batch: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    val debounced = debounceBatch(batch).cache()
+    try {
+      val jobId = s"merge-mor-${java.util.UUID.randomUUID()}"
+      val keys = table.stageDeleteKeys(debounced.select(col("doc_id")), jobId)
+      val rows = debounced.filter(col("_op") === "upsert").drop("_op")
+      val added = table.stageWrite(rows, jobId)
+      table.commit("merge-mor", added,
+        addDeletes = keys,
+        summary = Map(
+          "rule" -> "eager-mor",
+          "delete-keys" -> keys.map(_.records).sum.toString) ++ extraSummary)
+    } finally debounced.unpersist()
   }
 
   /**

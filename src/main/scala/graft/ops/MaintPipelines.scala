@@ -535,6 +535,41 @@ object MaintPipelines {
     verifiableScan(spark, t)
   }
 
+  /**
+   * Merge-on-read STREAMING upsert: the same update batch replayed as
+   * micro-batches through [[graft.streaming.Incremental.streamMergeMor]] —
+   * each trigger commits O(batch) delete keys + an append, and the seed
+   * files are asserted NEVER rewritten across all batches (the property
+   * that makes per-trigger ingest viable at 10^12 sequences; the CoW
+   * variant maint_stream_merge rewrites touched files every batch). The
+   * final compaction materializes the accumulated keys; the scan must equal
+   * the one-shot merge oracle exactly.
+   */
+  def streamMergeMorRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    val seedPaths = t.liveFiles().map(_.path).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-morstream-src").toString
+    updateBatch(spark, sfDir).repartition(6).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(TokenTable.sequenceSchema.add("_op", org.apache.spark.sql.types.StringType))
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dir)
+    val q = graft.streaming.Incremental.streamMergeMor(
+      stream, t.root.toString, s"$dir-ckpt")
+    q.processAllAvailable(); q.stop()
+    t.refresh()
+    require(seedPaths.subsetOf(t.liveFiles().map(_.path).toSet),
+      "MoR streaming merge rewrote seed data files — it must cost O(batch)")
+    require(t.metadata.currentSnapshot.exists(_.deletes.nonEmpty),
+      "no pending delete keys after MoR stream")
+    // compaction materializes pending deletes as files rewrite, then the
+    // retired keys are dropped by materializeDeletes
+    Maintenance.materializeDeletes(spark, t)
+    require(t.metadata.currentSnapshot.forall(_.deletes.isEmpty),
+      "materializeDeletes left keys pending")
+    verifiableScan(spark, t)
+  }
+
   /** Scan for tables whose tokens use the update stream (mult=17, m=40009). */
   private def verifiableScanMerged(spark: SparkSession, t: TokenTable): DataFrame =
     t.scan(spark).select(

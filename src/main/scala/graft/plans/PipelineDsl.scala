@@ -64,6 +64,7 @@ final case class SetRefStep(refName: String, kind: String) extends PipelineStep 
 final case class FastForwardStep(branch: String) extends PipelineStep { def name = "fast_forward" }
 final case class RollbackStep(snapshotId: Long) extends PipelineStep { def name = "rollback" }
 final case class MergeStep(rule: CreationRule.Value) extends PipelineStep { def name = "merge" }
+case object MergeMorStep extends PipelineStep { def name = "merge_mor" }
 final case class SchemaStep(op: SchemaOp) extends PipelineStep { def name = "schema" }
 
 object PipelineDsl {
@@ -160,6 +161,7 @@ object PipelineDsl {
           case r            => sys.error(s"unknown creation rule $r")
         }
         MergeStep(rule)
+      case "merge_mor"     => MergeMorStep
       case "add_column"    => SchemaStep(AddColumn(str("name"), str("type")))
       case "rename_column" => SchemaStep(RenameColumn(str("from"), str("to")))
       case "drop_column"   => SchemaStep(DropColumn(str("name")))
@@ -308,6 +310,9 @@ object PipelineRunner {
         case MergeStep(rule) =>
           val batch = mergeBatch.getOrElse(sys.error("merge step needs a batch DataFrame"))
           (Some(Maintenance.mergeInto(spark, table, batch, rule)), Map.empty)
+        case MergeMorStep =>
+          val batch = mergeBatch.getOrElse(sys.error("merge_mor step needs a batch DataFrame"))
+          (Some(Maintenance.mergeMor(spark, table, batch)), Map.empty)
         case SchemaStep(op) =>
           val m = table.evolveSchema(Seq(op))
           (None, Map("schema-id" -> m.schemaIdNow.toString))

@@ -139,4 +139,32 @@ object Incremental {
       }
       .start()
   }
+
+  /** Streaming upsert, merge-on-read: each micro-batch commits as equality-
+    * delete keys + an append ([[Maintenance.mergeMor]]) — O(batch) per
+    * trigger however large the table, never a file rewrite. The streaming
+    * shape for 10^12-sequence tables: a copy-on-write merge per micro-batch
+    * would rewrite the same hot files every few seconds, while here
+    * compaction retires the accumulated delete keys on ITS schedule
+    * (idempotent per batch id like every stream sink here). */
+  def streamMergeMor(
+      stream: DataFrame,
+      tableRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t = TokenTable.load(batch.sparkSession, tableRoot)
+        val already = t.metadata.snapshots.exists(
+          _.summary.get("stream-batch-id").contains(batchId.toString))
+        if (!already && !batch.isEmpty) {
+          Maintenance.mergeMor(batch.sparkSession, t, batch,
+            extraSummary = Map("stream-batch-id" -> batchId.toString))
+        }
+        ()
+      }
+      .start()
+  }
 }

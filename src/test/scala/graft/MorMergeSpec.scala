@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.SequenceGen
+import graft.maintenance.Maintenance
+import graft.table.TokenTable
+
+/** Merge-on-read MERGE: O(batch) commits (keys + append, never a rewrite)
+  * that must converge to exactly the copy-on-write result on a unique-key
+  * table, across stacked batches, deletes, re-inserts and compaction. */
+class MorMergeSpec extends SparkSpec {
+
+  private def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      bit_xor(xxhash64(col("doc_id"), col("tokens"), col("source")))).head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def fresh(dirTag: String): TokenTable =
+    SequenceGen.createTable(spark, tmpDir(dirTag) + "/tbl", 1000, 4)
+
+  private def batch(t: TokenTable) = {
+    val upd = t.scan(spark).filter(pmod(xxhash64(col("doc_id")), lit(5)) === 0)
+      .select(col("doc_id"), col("tokens"), col("n_tok"),
+        lit("upd").as("source"), lit("upsert").as("_op"))
+    val ins = SequenceGen.sequences(spark, 50, seed = 77L)
+      .select(concat(lit("new"), col("doc_id")).as("doc_id"), col("tokens"),
+        col("n_tok"), lit("ins").as("source"), lit("upsert").as("_op"))
+    val del = t.scan(spark).filter(pmod(xxhash64(col("doc_id")), lit(5)) === 1)
+      .select(col("doc_id"), col("tokens"), col("n_tok"),
+        col("source"), lit("delete").as("_op"))
+    upd.unionByName(ins).unionByName(del).localCheckpoint()
+  }
+
+  test("mergeMor == mergeInto row-for-row; seed files never rewritten") {
+    val tMor = fresh("mor-a")
+    val tCow = fresh("mor-b")
+    val b = batch(tMor) // same content for both (deterministic generators)
+    val seedPaths = tMor.liveFiles().map(_.path).toSet
+    Maintenance.mergeMor(spark, tMor, b)
+    assert(seedPaths.subsetOf(tMor.liveFiles().map(_.path).toSet),
+      "MoR merge rewrote data files")
+    assert(tMor.metadata.currentSnapshot.exists(_.deletes.nonEmpty))
+    Maintenance.mergeInto(spark, tCow, b)
+    assert(checksum(tMor.scan(spark)) == checksum(tCow.scan(spark)),
+      "MoR and CoW merge diverged")
+  }
+
+  test("stacked MoR merges: the later batch wins; delete then re-insert survives") {
+    val t = fresh("mor-stack")
+    val d0 = t.scan(spark).select(min(col("doc_id"))).head.getString(0)
+    def payload(src: String, op: String) = {
+      import spark.implicits._
+      Seq((d0, Seq(9, 9), 2, src, op)).toDF("doc_id", "tokens", "n_tok", "source", "_op")
+    }
+    Maintenance.mergeMor(spark, t, payload("v1", "upsert"))
+    Maintenance.mergeMor(spark, t, payload("v2", "upsert"))
+    val got = t.scan(spark).filter(col("doc_id") === d0).select("source").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("v2"), s"got ${got.toSeq}")
+    Maintenance.mergeMor(spark, t, payload("x", "delete"))
+    assert(t.scan(spark).filter(col("doc_id") === d0).count() == 0)
+    Maintenance.mergeMor(spark, t, payload("v3", "upsert"))
+    val back = t.scan(spark).filter(col("doc_id") === d0).select("source").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("v3"))
+    assert(t.scan(spark).count() == 1000)
+  }
+
+  test("compaction materializes MoR-merge keys without resurrecting or losing rows") {
+    val t = fresh("mor-compact")
+    Maintenance.mergeMor(spark, t, batch(t))
+    val before = checksum(t.scan(spark))
+    Maintenance.compact(spark, t, targetFileBytes = 4 << 20,
+      smallFileThreshold = Some(64 << 20))
+    Maintenance.materializeDeletes(spark, t)
+    assert(t.metadata.currentSnapshot.forall(_.deletes.isEmpty))
+    assert(checksum(t.scan(spark)) == before, "materialization changed content")
+  }
+
+  test("merge_mor runs from the YAML pipeline DSL") {
+    val t = fresh("mor-dsl")
+    val b = batch(t)
+    val res = graft.plans.PipelineRunner.run(spark, t,
+      graft.plans.PipelineDsl.parse("- implementation: merge_mor\n"),
+      mergeBatch = Some(b))
+    assert(res.head.snapshotId.nonEmpty)
+    assert(t.scan(spark).filter(col("source") === "upd").count() > 0)
+  }
+}

@@ -204,6 +204,27 @@ class PartitioningSpec extends SparkSpec {
     assert(t.scan(spark).count() == afterDelete)
   }
 
+  test("per-tuple bin packing: compaction converges to ~one file per partition tuple") {
+    val t = TokenTable.create(spark, tmpDir("part-binpack") + "/tbl",
+      partitionSpec = Seq(PartitionField("source", "identity")))
+    // several appends => many small files per tuple
+    (1 to 4).foreach { i =>
+      t.commit("append", t.stageWrite(
+        SequenceGen.sequences(spark, 300, seed = i.toLong)
+          .withColumn("doc_id", concat(lit(s"a$i-"), col("doc_id")))
+          .repartition(2), s"seed-$i"))
+    }
+    val tuples = t.liveFiles().flatMap(_.partition).distinct.size
+    assert(t.liveFiles().size > tuples * 2, "fixture not fragmented enough")
+    val before = checksum(t.scan(spark))
+    Maintenance.compact(spark, t, targetFileBytes = 64 << 20,
+      smallFileThreshold = Some(64 << 20))
+    // one ~target-size bin per tuple -> one file per tuple
+    assert(t.liveFiles().size == tuples,
+      s"expected $tuples files post-compact, got ${t.liveFiles().size}")
+    assert(checksum(t.scan(spark)) == before)
+  }
+
   test("partitioned compact crash-resumes without recompute and keeps tuples") {
     import graft.maintenance.{Failpoints, SortBy}
     val t = fresh(800)
