@@ -69,6 +69,7 @@ object Maintenance {
       chunks: Int = 8,
       operation: String = "compact"): Option[Snapshot] = {
     val live = table.liveFiles()
+    val plannedDeletes = table.currentDeletePaths() // same metadata view
     val threshold = smallFileThreshold.getOrElse(Long.MaxValue)
     val victims = live.filter(_.bytes < threshold)
     if (victims.size < 2) return None
@@ -105,7 +106,22 @@ object Maintenance {
           val input = table.readFiles(spark, files)
           val nOut = math.max(1, math.ceil(files.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
           val rows = files.map(_.records).sum
-          val outs = table.stageWrite(applyLayout(input, layout, nOut, rows), s"$stepId/$unitId")
+          val spec = table.metadata.spec
+          val layouted = layout match {
+            // Partitioned concat/sort chunks distribute by partition TUPLE
+            // (+ doc-hash salt for oversized tuples): a doc_id range shuffle
+            // would re-mix tuples across write tasks and the aligned writer
+            // would re-split them per tuple — re-creating the small files
+            // the per-tuple bins were packed to fix. stageWrite's
+            // (tuple, doc_id) sort provides the within-file order. Curve
+            // layouts keep the global clustering shuffle by design.
+            case Concat | _: SortBy if spec.nonEmpty =>
+              val tuples = math.max(1, files.flatMap(_.partition).distinct.size)
+              graft.table.Partitioning.distributeByPartition(
+                input, spec, nOut, math.max(1, math.ceil(nOut.toDouble / tuples).toInt))
+            case _ => applyLayout(input, layout, nOut, rows)
+          }
+          val outs = table.stageWrite(layouted, s"$stepId/$unitId")
           ledger.record(unitId, outs)
           Failpoints.hit("compact.after-chunk")
           outs
@@ -119,7 +135,8 @@ object Maintenance {
           "target-file-bytes" -> targetFileBytes.toString,
           "input-files" -> victims.size.toString,
           "input-records" -> victims.map(_.records).sum.toString),
-        replacedRange = TokenTable.docRange(victims))
+        replacedRange = TokenTable.docRange(victims),
+        readDeletePaths = Some(plannedDeletes))
       catch {
         case e: graft.table.CommitConflictException =>
           // stale victim set: a replanned compact gets a new stepId, so the
@@ -195,8 +212,6 @@ object Maintenance {
       extraSummary: Map[String, String] = Map.empty,
       preHooks: Seq[String] = Nil,
       postHooks: Seq[String] = Nil): Snapshot = {
-    import org.apache.spark.sql.types.LongType
-
     // Ingest hooks — arbitrary SQL run before/after the commit against views
     // of the batch and table state (reference nodestream/model/ingestion_hooks
     // .py:6-25; before at desired_ingestion.py:37-39, after-flush ordering at
@@ -233,6 +248,7 @@ object Maintenance {
     // bucket just above a file's max can flag it) — pruning only ever
     // over-approximates, the key-equality join below stays exact.
     val live = table.liveFiles()
+    val plannedDeletes = table.currentDeletePaths() // same metadata view
     val touched = touchedFiles(debounced, live)
     val touchedPaths: Set[String] = touched.map(_.path).toSet
 
@@ -309,7 +325,8 @@ object Maintenance {
       try table.commit("merge", staged, touchedPaths,
         summary = Map("rule" -> rule.toString.toLowerCase,
           "touched-files" -> touched.size.toString) ++ observed ++ extraSummary,
-        replacedRange = TokenTable.docRange(touched))
+        replacedRange = TokenTable.docRange(touched),
+        readDeletePaths = Some(plannedDeletes))
       catch {
         case e: graft.table.CommitConflictException =>
           // a conflicted plan can NEVER commit (its victim set is stale):
@@ -359,6 +376,19 @@ object Maintenance {
    * 10^12 sequences (a CoW merge per micro-batch would rewrite the same hot
    * files every few seconds). Eager semantics only (update + insert);
    * the doc_id-unique table invariant of [[deleteWhereMor]] applies.
+   *
+   * FULL-ROW upsert semantics: the batch row IS the row. mergeMor never
+   * reads target values — that is exactly what keeps it O(batch) — so on a
+   * schema-evolved table, columns absent from the batch come back NULL for
+   * updated rows, where the CoW [[mergeInto]] preserves target-side values
+   * at O(touched-file) cost. Choose CoW when evolved columns must survive
+   * updates; the divergence is spec-pinned (MorMergeSpec).
+   *
+   * Concurrency: racing REWRITES (compact/cluster/CoW merge/materialize)
+   * validate at commit that no delete keys landed after they planned
+   * (TokenTable.commit readDeletePaths) and conflict instead of restamping
+   * rows past this merge's keys — without that check a concurrent rewrite
+   * would silently resurrect deleted rows and un-do updates.
    */
   def mergeMor(
       spark: SparkSession,
@@ -519,6 +549,7 @@ object Maintenance {
       batch: DataFrame, // doc_pattern, tokens, n_tok, source
       targetFileBytes: Long = DefaultTargetFileBytes): Snapshot = {
     val live = table.liveFiles()
+    val plannedDeletes = table.currentDeletePaths()
     // Literal-prefix fast path: when EVERY pattern is anchored with a literal
     // prefix (`^doc00042…`), a file can only contain matches if its doc_id
     // range intersects [prefix, prefixSuccessor) — the common
@@ -568,7 +599,8 @@ object Maintenance {
       summary = Map("rule" -> "fuzzy",
         "touched-files" -> touched.size.toString,
         "pruned-files" -> (live.size - touched.size).toString),
-      replacedRange = TokenTable.docRange(touched))
+      replacedRange = TokenTable.docRange(touched),
+      readDeletePaths = Some(plannedDeletes))
   }
 
   /** Longest literal prefix every match of `pattern` must start with, when
@@ -662,6 +694,7 @@ object Maintenance {
       pred: DeletePredicate,
       targetFileBytes: Long = DefaultTargetFileBytes): Option[Snapshot] = {
     val live = table.liveFiles()
+    val plannedDeletes = table.currentDeletePaths()
     val fullyCovered = live.filter(pred.coversFile)
     val partial = live.filter(f => pred.intersectsFile(f) && !pred.coversFile(f))
     if (fullyCovered.isEmpty && partial.isEmpty) return None
@@ -681,7 +714,8 @@ object Maintenance {
         "predicate" -> pred.toString,
         "metadata-only-deleted-files" -> fullyCovered.size.toString,
         "rewritten-files" -> partial.size.toString),
-      replacedRange = TokenTable.docRange(fullyCovered ++ partial)))
+      replacedRange = TokenTable.docRange(fullyCovered ++ partial),
+      readDeletePaths = Some(plannedDeletes)))
   }
 
   /**
@@ -766,7 +800,10 @@ object Maintenance {
         "rewritten-files" -> affected.size.toString,
         "retired-delete-files" -> deletes.size.toString),
       replacedRange = TokenTable.docRange(affected),
-      dropDeletePaths = deletes.map(_.path).toSet))
+      dropDeletePaths = deletes.map(_.path).toSet,
+      // validation is delete-MANIFEST granular: the manifests this planner
+      // read (snap.deletes), NOT the key-file entries inside them
+      readDeletePaths = Some(snap.deletes.map(_.path).toSet)))
   }
 
   // ------------------------------------------------------- manifest rewrite

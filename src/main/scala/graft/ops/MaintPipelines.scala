@@ -541,9 +541,10 @@ object MaintPipelines {
    * each trigger commits O(batch) delete keys + an append, and the seed
    * files are asserted NEVER rewritten across all batches (the property
    * that makes per-trigger ingest viable at 10^12 sequences; the CoW
-   * variant maint_stream_merge rewrites touched files every batch). The
-   * final compaction materializes the accumulated keys; the scan must equal
-   * the one-shot merge oracle exactly.
+   * variant maint_stream_merge rewrites touched files every batch). A final
+   * materializeDeletes retires every accumulated key (a production table
+   * would fold this into its compaction schedule); the scan must equal the
+   * one-shot merge oracle exactly.
    */
   def streamMergeMorRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val t = freshTable(spark, sfDir)
@@ -562,8 +563,7 @@ object MaintPipelines {
       "MoR streaming merge rewrote seed data files — it must cost O(batch)")
     require(t.metadata.currentSnapshot.exists(_.deletes.nonEmpty),
       "no pending delete keys after MoR stream")
-    // compaction materializes pending deletes as files rewrite, then the
-    // retired keys are dropped by materializeDeletes
+    // retire every accumulated key in one rewrite of the affected files
     Maintenance.materializeDeletes(spark, t)
     require(t.metadata.currentSnapshot.forall(_.deletes.isEmpty),
       "materializeDeletes left keys pending")

@@ -84,18 +84,14 @@ object Incremental {
     rewritten
   }
 
-  /**
-   * Structured-Streaming ingest: every micro-batch of `(doc_id, tokens,
-   * n_tok, source)` rows is committed as one atomic append snapshot —
-   * `foreachBatch` commit == the reference's Flush-driven writer flush
-   * (nodestream/databases/writer.py:85-99). Exactly-once at the table level:
-   * a batch id already recorded in the snapshot log is skipped on replay.
-   */
-  def streamAppend(
-      stream: DataFrame,
-      tableRoot: String,
-      checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+  /** The shared exactly-once micro-batch sink: `op(table, batch, batchId)`
+    * runs once per UNSEEN batch id — a batch id already recorded in the
+    * snapshot log (by the committing op, via the stream-batch-id summary
+    * key) is skipped on replay. One place to fix the replay check for every
+    * streaming sink. */
+  private def idempotentBatchSink(
+      stream: DataFrame, tableRoot: String, checkpointDir: String, trigger: Trigger)(
+      op: (TokenTable, DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -103,17 +99,30 @@ object Incremental {
         val t = TokenTable.load(batch.sparkSession, tableRoot)
         val already = t.metadata.snapshots.exists(
           _.summary.get("stream-batch-id").contains(batchId.toString))
-        if (!already && !batch.isEmpty) {
-          val staged = t.stageWrite(
-            batch.select("doc_id", "tokens", "n_tok", "source"),
-            s"stream-batch-$batchId-${java.util.UUID.randomUUID()}")
-          t.commit("append", staged,
-            summary = Map("stream-batch-id" -> batchId.toString))
-        }
+        if (!already && !batch.isEmpty) op(t, batch, batchId)
         ()
       }
       .start()
-  }
+
+  /**
+   * Structured-Streaming ingest: every micro-batch of `(doc_id, tokens,
+   * n_tok, source)` rows is committed as one atomic append snapshot —
+   * `foreachBatch` commit == the reference's Flush-driven writer flush
+   * (nodestream/databases/writer.py:85-99).
+   */
+  def streamAppend(
+      stream: DataFrame,
+      tableRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    idempotentBatchSink(stream, tableRoot, checkpointDir, trigger) { (t, batch, batchId) =>
+      val staged = t.stageWrite(
+        batch.select("doc_id", "tokens", "n_tok", "source"),
+        s"stream-batch-$batchId-${java.util.UUID.randomUUID()}")
+      t.commit("append", staged,
+        summary = Map("stream-batch-id" -> batchId.toString))
+      ()
+    }
 
   /** Streaming upsert: each micro-batch MERGEs into the table (idempotent
     * per batch id, last-write-wins inside the batch via the debouncer). */
@@ -122,23 +131,12 @@ object Incremental {
       tableRoot: String,
       checkpointDir: String,
       rule: CreationRule.Value = CreationRule.Eager,
-      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val t = TokenTable.load(batch.sparkSession, tableRoot)
-        val already = t.metadata.snapshots.exists(
-          _.summary.get("stream-batch-id").contains(batchId.toString))
-        if (!already && !batch.isEmpty) {
-          // batch-id tag in the snapshot summary makes replays idempotent
-          Maintenance.mergeInto(batch.sparkSession, t, batch, rule,
-            extraSummary = Map("stream-batch-id" -> batchId.toString))
-        }
-        ()
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    idempotentBatchSink(stream, tableRoot, checkpointDir, trigger) { (t, batch, batchId) =>
+      Maintenance.mergeInto(batch.sparkSession, t, batch, rule,
+        extraSummary = Map("stream-batch-id" -> batchId.toString))
+      ()
+    }
 
   /** Streaming upsert, merge-on-read: each micro-batch commits as equality-
     * delete keys + an append ([[Maintenance.mergeMor]]) — O(batch) per
@@ -151,20 +149,10 @@ object Incremental {
       stream: DataFrame,
       tableRoot: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val t = TokenTable.load(batch.sparkSession, tableRoot)
-        val already = t.metadata.snapshots.exists(
-          _.summary.get("stream-batch-id").contains(batchId.toString))
-        if (!already && !batch.isEmpty) {
-          Maintenance.mergeMor(batch.sparkSession, t, batch,
-            extraSummary = Map("stream-batch-id" -> batchId.toString))
-        }
-        ()
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    idempotentBatchSink(stream, tableRoot, checkpointDir, trigger) { (t, batch, batchId) =>
+      Maintenance.mergeMor(batch.sparkSession, t, batch,
+        extraSummary = Map("stream-batch-id" -> batchId.toString))
+      ()
+    }
 }

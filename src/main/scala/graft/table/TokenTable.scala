@@ -135,6 +135,13 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     readFiles(spark, planFilesForKey(docId), deletesOf(None))
       .filter(col("doc_id") === docId)
 
+  /** Delete file paths pending on the current snapshot — capture at
+    * planning time (adjacent to the liveFiles() call, same metadata view)
+    * and pass to commit(readDeletePaths = …) so a rewrite aborts if new
+    * equality deletes landed mid-flight. */
+  def currentDeletePaths(): Set[String] =
+    meta.currentSnapshot.map(_.deletes.map(_.path).toSet).getOrElse(Set.empty)
+
   /** Equality-delete key entries pending on a snapshot (merge-on-read). */
   def deleteEntries(s: Snapshot): Seq[DataFileMeta] =
     s.deletes.flatMap(m => TableJson.readManifest(readString(fs, new Path(metadataDir, m.path))))
@@ -407,7 +414,17 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       // Write-audit-publish: commit onto a named branch instead of the main
       // line — the branch head is the parent, the main current snapshot is
       // untouched, readers see nothing until fastForward() publishes.
-      branch: Option[String] = None): Snapshot = {
+      branch: Option[String] = None,
+      // Delete-set validation for REWRITE commits: the equality-delete file
+      // paths the planner read its victims through. A rewrite restamps rows
+      // at the new snapshot's sequence, so an equality delete committed
+      // AFTER planning would no longer apply to them — without this check a
+      // compact/merge racing a merge-on-read writer silently RESURRECTS
+      // deleted rows and un-does updates. If the parent carries any delete
+      // file the planner did not read, the commit aborts with
+      // CommitConflictException and the caller replans (Iceberg's
+      // validateNoNewDeleteFiles).
+      readDeletePaths: Option[Set[String]] = None): Snapshot = {
     var attempt = 0
     while (true) {
       val base = refresh()
@@ -422,6 +439,15 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
           Some(base.snapshot(r.snapshotId).getOrElse(sys.error(
             s"branch '${branch.get}' points at missing snapshot ${r.snapshotId}")))
         case None => base.currentSnapshot
+      }
+      for (readPaths <- readDeletePaths if replaced.nonEmpty) {
+        val parentDeletes = parent.toSeq.flatMap(_.deletes).map(_.path).toSet
+        val unseen = parentDeletes -- readPaths
+        if (unseen.nonEmpty)
+          throw new CommitConflictException(
+            "equality-delete files committed since this rewrite was planned " +
+              s"(${unseen.take(3).mkString(", ")}) — committing would restamp " +
+              "rows past the deletes and resurrect them; replan")
       }
       val snapId = base.snapshots.map(_.snapshotId).foldLeft(0L)(math.max) + 1
       def mustRead(m: ManifestMeta): Boolean =

@@ -150,9 +150,7 @@ object TextOps {
    * reference definition, equality spec-pinned.
    */
   def fingerprint64(text: Column): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.CharPolyHash(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), 131, HashMod1))
+    graft.functions.GraftFunctions.char_poly_hash(text, 131, HashMod1)
 
   // ------------------------------------------------------- portable hashing
   // Engine-portable hash family: pure integer column math (no xxhash64 —

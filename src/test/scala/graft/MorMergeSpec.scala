@@ -77,6 +77,60 @@ class MorMergeSpec extends SparkSpec {
     assert(checksum(t.scan(spark)) == before, "materialization changed content")
   }
 
+  test("a rewrite planned before a MoR merge conflicts instead of resurrecting rows") {
+    val root = tmpDir("mor-race") + "/tbl"
+    val t1 = SequenceGen.createTable(spark, root, 600, 4) // planning view cached
+    val t2 = TokenTable.load(spark, root)                 // concurrent MoR writer
+    val d0 = t1.scan(spark).select(min(col("doc_id"))).head.getString(0)
+    import spark.implicits._
+    Maintenance.mergeMor(spark, t2,
+      Seq((d0, Seq(5), 1, "v2", "upsert")).toDF("doc_id", "tokens", "n_tok", "source", "_op"))
+    // t1 compacts from its pre-merge metadata: the rewrite would restamp
+    // d0's OLD row past the delete key — commit must conflict, not resurrect
+    intercept[graft.table.CommitConflictException] {
+      Maintenance.compact(spark, t1, targetFileBytes = 1 << 20,
+        smallFileThreshold = Some(64 << 20))
+    }
+    t1.refresh()
+    val rows = t1.scan(spark).filter(col("doc_id") === d0)
+      .select("source").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("v2"), s"got $rows")
+    // a REPLANNED compact (fresh metadata, deletes read through) succeeds
+    // and materializes the key without resurrecting the old row
+    Maintenance.compact(spark, t1, targetFileBytes = 1 << 20,
+      smallFileThreshold = Some(64 << 20))
+    val after = t1.scan(spark).filter(col("doc_id") === d0)
+      .select("source").collect().map(_.getString(0)).toSeq
+    assert(after == Seq("v2"), s"post-compact got $after")
+    assert(t1.scan(spark).count() == 600)
+  }
+
+  test("full-row upsert contract: evolved columns null out on MoR-updated rows (CoW preserves)") {
+    import spark.implicits._
+    import graft.table.AddColumn
+    // evolve + backfill `lang` by rewriting the table with the column set
+    val t = fresh("mor-evolved")
+    t.evolveSchema(Seq(AddColumn("lang", "STRING")))
+    val backfilled = t.scan(spark).drop("lang").withColumn("lang", lit("en"))
+    t.commit("append", t.stageWrite(backfilled, "backfill"),
+      replaced = t.liveFiles().map(_.path).toSet,
+      replacedRange = graft.table.TokenTable.docRange(t.liveFiles()))
+    val d0 = t.scan(spark).select(min(col("doc_id"))).head.getString(0)
+    assert(t.scan(spark).filter(col("doc_id") === d0).head.getAs[String]("lang") == "en")
+    // CoW merge preserves the evolved value on the updated row...
+    val batch = Seq((d0, Seq(7), 1, "up", "upsert"))
+      .toDF("doc_id", "tokens", "n_tok", "source", "_op")
+    Maintenance.mergeInto(spark, t, batch)
+    val cow = t.scan(spark).filter(col("doc_id") === d0).select("source", "lang").head
+    assert(cow.getString(0) == "up" && cow.getString(1) == "en")
+    // ...while a MoR upsert is a FULL-ROW replace: lang is null afterwards
+    // (the documented O(batch) trade — never reads target values)
+    Maintenance.mergeMor(spark, t, batch.withColumn("source", lit("up2")))
+    val mor = t.scan(spark).filter(col("doc_id") === d0).select("source", "lang").head
+    assert(mor.getString(0) == "up2" && mor.isNullAt(1))
+    assert(t.scan(spark).count() == 1000)
+  }
+
   test("merge_mor runs from the YAML pipeline DSL") {
     val t = fresh("mor-dsl")
     val b = batch(t)
