@@ -66,6 +66,7 @@ object Incremental {
     val cursor = new SnapshotCursor(table, consumer)
     val fresh = newFilesSince(table, cursor.get())
       .filter(_.bytes < smallFileThreshold)
+    val plannedDeletes = table.currentDeletePaths() // same metadata view
     val rewritten =
       if (fresh.size < 2) 0
       else {
@@ -77,7 +78,8 @@ object Incremental {
           Maintenance.repartitionByTokenMass(input, nOut),
           s"inc-compact-${java.util.UUID.randomUUID()}")
         table.commit("compact", staged, fresh.map(_.path).toSet,
-          summary = Map("mode" -> "incremental", "consumer" -> consumer))
+          summary = Map("mode" -> "incremental", "consumer" -> consumer),
+          readDeletePaths = Some(plannedDeletes))
         fresh.size
       }
     table.metadata.currentSnapshotId.foreach(cursor.set)
