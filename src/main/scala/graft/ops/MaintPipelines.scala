@@ -410,8 +410,8 @@ object MaintPipelines {
     val snaps0 = t.metadata.snapshots.size
     val a = updateBatchMod(spark, sfDir, mod7 = 1, mult = 17, m = 40009)
     val b = updateBatchMod(spark, sfDir, mod7 = 4, mult = 19, m = 30011)
-    val fa = Future(Maintenance.mergeIntoRetrying(spark, t, a))
-    val fb = Future(Maintenance.mergeIntoRetrying(spark, t, b))
+    val fa = Future(Maintenance.mergeIntoRetrying(spark, t, a, maxAttempts = 10))
+    val fb = Future(Maintenance.mergeIntoRetrying(spark, t, b, maxAttempts = 10))
     val sa = Await.result(fa, 10.minutes)
     val sb = Await.result(fb, 10.minutes)
     t.refresh()

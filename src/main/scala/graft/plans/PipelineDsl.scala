@@ -42,6 +42,7 @@ final case class ClusterStep(layout: Layout, targetFileBytes: Long) extends Pipe
     case _: ZOrder  => "zorder"
     case _: Hilbert => "hilbert"
     case _: SortBy  => "sort"
+    case Concat     => "concat"
   }
 }
 final case class RewriteManifestsStep(entriesPerManifest: Int) extends PipelineStep {

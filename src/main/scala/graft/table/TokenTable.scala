@@ -589,8 +589,17 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val dst = new Path(metadataDir, s"v$version.json")
     // rename refuses to clobber: first committer of v<N> wins.
     val won = !fs.exists(dst) && fs.rename(tmp, dst)
-    if (won) writeString(fs, new Path(metadataDir, "version-hint.text"), version.toString, overwrite = true)
-    else fs.delete(tmp, false)
+    if (won) {
+      // hint update via tmp+rename, NOT truncate-in-place: a concurrent
+      // reader of a truncated hint sees an empty file (EOF noise under racing
+      // writers); a missing hint during the swap just falls back to the
+      // version scan — the hint is advisory either way
+      val hint = new Path(metadataDir, "version-hint.text")
+      val hintTmp = new Path(metadataDir, s".hint-${UUID.randomUUID()}.tmp")
+      writeString(fs, hintTmp, version.toString)
+      if (fs.exists(hint)) fs.delete(hint, false)
+      if (!fs.rename(hintTmp, hint)) fs.delete(hintTmp, false) // lost hint race: advisory
+    } else fs.delete(tmp, false)
     won
   }
 
@@ -873,7 +882,7 @@ object TokenTable {
         val cit = b.getColumns.iterator()
         while (cit.hasNext) {
           val c = cit.next()
-          val s = c.getStatistics
+          val s: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
           if (s == null || s.isEmpty) {
             c.getPath.toDotString match {
               case "doc_id" | "n_tok" | "source" => return None // no stats: fall back

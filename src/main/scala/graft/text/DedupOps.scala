@@ -171,8 +171,8 @@ object DedupOps {
       textCol: String = "text"): DataFrame = {
     val withSet = docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+ wordSet(col(textCol)).as("ws"): _*)
-    val a = withSet.toDF(withSet.columns.map(c => s"a_$c"): _*)
-    val b = withSet.toDF(withSet.columns.map(c => s"b_$c"): _*)
+    val a = withSet.toDF(withSet.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+    val b = withSet.toDF(withSet.columns.toIndexedSeq.map(c => s"b_$c"): _*)
     val joinCond = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
       .reduce(_ && _) && col("a_id") < col("b_id")
     a.join(b, joinCond)

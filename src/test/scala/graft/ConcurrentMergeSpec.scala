@@ -46,8 +46,10 @@ class ConcurrentMergeSpec extends SparkSpec {
     val b = upd(1, "rb")
     val na = a.count(); val nb = b.count()
     assert(na > 0 && nb > 0 && na + nb == 2000)
-    val fa = Future(Maintenance.mergeIntoRetrying(spark, t, a))
-    val fb = Future(Maintenance.mergeIntoRetrying(spark, t, b))
+    // generous attempt budget: under a fully loaded test machine the
+    // rename+conflict retries can need more than the default headroom
+    val fa = Future(Maintenance.mergeIntoRetrying(spark, t, a, maxAttempts = 10))
+    val fb = Future(Maintenance.mergeIntoRetrying(spark, t, b, maxAttempts = 10))
     val sa = Await.result(fa, 5.minutes)
     val sb = Await.result(fb, 5.minutes)
     t.refresh()
