@@ -13,10 +13,21 @@ import graft.table.{DataFileMeta, Snapshot, TokenTable}
   * (reference tests/data/test_snapshot_handling_during_errors.py). */
 object Failpoints {
   @volatile private var arm: Map[String, Int] = Map.empty
+  @volatile private var callbacks: Map[String, () => Unit] = Map.empty
   final class InjectedFailure(name: String) extends RuntimeException(s"failpoint: $name")
   /** Fail the `n`-th hit (1-based) of `name`. */
   def armAt(name: String, n: Int): Unit = synchronized { arm += (name -> n) }
-  def reset(): Unit = synchronized { arm = Map.empty }
+  /** Run `f` (once, then disarm) at the next hit of callback point `name` —
+    * for interleaving tests that inject a concurrent commit mid-plan. */
+  def armCallback(name: String)(f: () => Unit): Unit =
+    synchronized { callbacks += (name -> f) }
+  def reset(): Unit = synchronized { arm = Map.empty; callbacks = Map.empty }
+  def hitCallback(name: String): Unit = {
+    val f = synchronized {
+      val r = callbacks.get(name); r.foreach(_ => callbacks -= name); r
+    }
+    f.foreach(_.apply())
+  }
   def hit(name: String): Unit = synchronized {
     arm.get(name) match {
       case Some(1) => arm -= name; throw new InjectedFailure(name)
@@ -68,13 +79,22 @@ object Maintenance {
       smallFileThreshold: Option[Long] = None, // None = rewrite ALL files (full re-cluster)
       chunks: Int = 8,
       operation: String = "compact"): Option[Snapshot] = {
-    val live = table.liveFiles()
-    val plannedDeletes = table.currentDeletePaths() // same metadata view
+    // ONE immutable metadata snapshot for the whole planning pass: victims,
+    // pending-delete paths, the read-time delete entries, spec and the
+    // stepId's snapshot id all come from `m`. Deriving them from separate
+    // reads of the live table races a concurrent merge-on-read commit (see
+    // TokenTable "snapshot-consistent planning views"). A stale `m` is safe —
+    // commit validation conflicts on anything that landed since — so no
+    // refresh: the caller decides how fresh its planning view is.
+    val m = table.metadata
+    val live = table.liveFiles(m)
+    val plannedDeletes = table.deletePathsOf(m)
+    val plannedDeleteEntries = table.deleteEntriesOf(m)
     val threshold = smallFileThreshold.getOrElse(Long.MaxValue)
     val victims = live.filter(_.bytes < threshold)
     if (victims.size < 2) return None
 
-    val stepId = deterministicStepId(operation, table, layout, targetFileBytes, victims)
+    val stepId = deterministicStepId(operation, m.currentSnapshotId, layout, targetFileBytes, victims)
     val ledger = new Ledger(table, stepId)
     val done = ledger.completedUnits()
 
@@ -87,7 +107,7 @@ object Maintenance {
     // Groups are ordered by their min path so chunk composition — and with
     // it the resume ledger — stays deterministic.
     val bins =
-      if (table.metadata.spec.isEmpty) binPack(victims, targetFileBytes)
+      if (m.spec.isEmpty) binPack(victims, targetFileBytes)
       else victims.groupBy(_.partition).values.toSeq
         .sortBy(_.map(_.path).min)
         .flatMap(group => binPack(group, targetFileBytes))
@@ -103,10 +123,10 @@ object Maintenance {
         case None =>
           val stagingDir = new Path(table.dataDir, s"$stepId/$unitId")
           if (table.fs.exists(stagingDir)) table.fs.delete(stagingDir, true) // partial crash leftovers
-          val input = table.readFiles(spark, files)
+          val input = table.readFiles(spark, files, plannedDeleteEntries)
           val nOut = math.max(1, math.ceil(files.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
           val rows = files.map(_.records).sum
-          val spec = table.metadata.spec
+          val spec = m.spec
           val layouted = layout match {
             // Partitioned concat/sort chunks distribute by partition TUPLE
             // (+ doc-hash salt for oversized tuples): a doc_id range shuffle
@@ -247,12 +267,23 @@ object Maintenance {
     // endpoint-index span they hit. Conservative at span edges (a hit in the
     // bucket just above a file's max can flag it) — pruning only ever
     // over-approximates, the key-equality join below stays exact.
-    val live = table.liveFiles()
-    val plannedDeletes = table.currentDeletePaths() // same metadata view
+    // One immutable metadata snapshot per planning pass (see compact): the
+    // victim set, the pending-delete paths the commit validates against, and
+    // the deletes applied while reading victims must agree — separate reads
+    // of the live table let a racing mergeMor slip its delete into
+    // plannedDeletes while its appended file is missing from `live`,
+    // committing a duplicate doc_id.
+    val m = table.metadata
+    val live = table.liveFiles(m)
+    // interleaving point for the regression test pinning the one-snapshot
+    // rule: a MoR commit injected HERE must conflict at commit, not slip its
+    // delete path into the planned set while its file is missing from `live`
+    Failpoints.hitCallback("merge.after-live")
+    val plannedDeletes = table.deletePathsOf(m)
     val touched = touchedFiles(debounced, live)
     val touchedPaths: Set[String] = touched.map(_.path).toSet
 
-    val target = table.readFiles(spark, touched)
+    val target = table.readFiles(spark, touched, table.deleteEntriesOf(m))
     val b = debounced
       .withColumnRenamed("tokens", "_b_tokens").withColumnRenamed("n_tok", "_b_n_tok")
       .withColumnRenamed("source", "_b_source")
@@ -286,10 +317,10 @@ object Maintenance {
     // across salt tasks/files, and targetFileBytes sizing is honored.
     // Unpartitioned tables keep the token-mass doc_id ranges.
     val balanced =
-      if (table.metadata.spec.nonEmpty) {
+      if (m.spec.nonEmpty) {
         val tuples = math.max(1, touched.flatMap(_.partition).distinct.size)
         val salt = math.max(1, math.ceil(nOut.toDouble / tuples).toInt)
-        graft.table.Partitioning.distributeByPartition(result, table.metadata.spec,
+        graft.table.Partitioning.distributeByPartition(result, m.spec,
           math.max(nOut, spark.sessionState.conf.numShufflePartitions), salt)
       } else repartitionByTokenMass(result, nOut,
         Some(touched.map(_.records).sum + batchRows))
@@ -300,7 +331,7 @@ object Maintenance {
     // racing writers without breaking resume (semanticHash normalizes
     // expression ids, so the same merge re-run after a crash rehashes equal).
     val planHash = java.lang.Integer.toHexString(batch.queryExecution.analyzed.semanticHash())
-    val stepId = s"merge-snap${table.metadata.currentSnapshotId.getOrElse(0L)}-${touchedPaths.hashCode()}-$planHash"
+    val stepId = s"merge-snap${m.currentSnapshotId.getOrElse(0L)}-${touchedPaths.hashCode()}-$planHash"
     val ledger = new Ledger(table, stepId)
     // Per-flush observed counters (the reference's QueryExecutorWithStatistics,
     // nodestream/databases/query_executor_with_statistics.py): an Observation
@@ -548,8 +579,9 @@ object Maintenance {
       table: TokenTable,
       batch: DataFrame, // doc_pattern, tokens, n_tok, source
       targetFileBytes: Long = DefaultTargetFileBytes): Snapshot = {
-    val live = table.liveFiles()
-    val plannedDeletes = table.currentDeletePaths()
+    val m = table.metadata // one planning snapshot (see compact)
+    val live = table.liveFiles(m)
+    val plannedDeletes = table.deletePathsOf(m)
     // Literal-prefix fast path: when EVERY pattern is anchored with a literal
     // prefix (`^doc00042…`), a file can only contain matches if its doc_id
     // range intersects [prefix, prefixSuccessor) — the common
@@ -567,7 +599,7 @@ object Maintenance {
     if (touched.isEmpty)
       return table.commit("merge", Seq.empty, Set.empty,
         summary = Map("rule" -> "fuzzy", "touched-files" -> "0"))
-    val target = table.readFiles(spark, touched)
+    val target = table.readFiles(spark, touched, table.deleteEntriesOf(m))
     val b = broadcast(batch.select(
       col("doc_pattern"),
       col("tokens").as("_b_tokens"), col("n_tok").as("_b_n_tok"),
@@ -693,8 +725,9 @@ object Maintenance {
       table: TokenTable,
       pred: DeletePredicate,
       targetFileBytes: Long = DefaultTargetFileBytes): Option[Snapshot] = {
-    val live = table.liveFiles()
-    val plannedDeletes = table.currentDeletePaths()
+    val m = table.metadata // one planning snapshot (see compact)
+    val live = table.liveFiles(m)
+    val plannedDeletes = table.deletePathsOf(m)
     val fullyCovered = live.filter(pred.coversFile)
     val partial = live.filter(f => pred.intersectsFile(f) && !pred.coversFile(f))
     if (fullyCovered.isEmpty && partial.isEmpty) return None
@@ -702,7 +735,8 @@ object Maintenance {
     val staged =
       if (partial.isEmpty) Seq.empty
       else {
-        val kept = table.readFiles(spark, partial).filter(!pred.toColumn)
+        val kept = table.readFiles(spark, partial, table.deleteEntriesOf(m))
+          .filter(!pred.toColumn)
         val nOut = math.max(1, math.ceil(
           partial.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
         table.stageWrite(kept.repartitionByRange(nOut, col("doc_id")),
@@ -744,16 +778,18 @@ object Maintenance {
       spark: SparkSession,
       table: TokenTable,
       pred: DeletePredicate): Option[Snapshot] = {
-    val live = table.liveFiles()
+    val m = table.metadata // one planning snapshot (see compact)
+    val live = table.liveFiles(m)
     val fullyCovered = live.filter(pred.coversFile)
     val partial = live.filter(f => pred.intersectsFile(f) && !pred.coversFile(f))
     if (fullyCovered.isEmpty && partial.isEmpty) return None
     val keys =
       if (partial.isEmpty) Seq.empty
       else table.stageDeleteKeys(
-        // readFiles applies EXISTING pending deletes, so already-deleted
-        // rows never re-stage their keys.
-        table.readFiles(spark, partial).filter(pred.toColumn).select(col("doc_id")),
+        // readFiles applies the planning snapshot's pending deletes, so
+        // already-deleted rows never re-stage their keys.
+        table.readFiles(spark, partial, table.deleteEntriesOf(m))
+          .filter(pred.toColumn).select(col("doc_id")),
         s"mor-${java.util.UUID.randomUUID()}")
     if (fullyCovered.isEmpty && keys.isEmpty) return None
     Some(table.commit("delete-mor", Seq.empty,
@@ -777,10 +813,11 @@ object Maintenance {
       spark: SparkSession,
       table: TokenTable,
       targetFileBytes: Long = DefaultTargetFileBytes): Option[Snapshot] = {
-    val snap = table.metadata.currentSnapshot.getOrElse(return None)
+    val m = table.metadata // one planning snapshot (see compact)
+    val snap = m.currentSnapshot.getOrElse(return None)
     val deletes = table.deleteEntries(snap)
     if (deletes.isEmpty) return None
-    val live = table.liveFiles()
+    val live = table.liveFiles(m)
     val affected = live.filter { f =>
       deletes.exists(d =>
         d.seqOr0 > f.seqOr0 && d.maxDocId >= f.minDocId && d.minDocId <= f.maxDocId)
@@ -788,7 +825,7 @@ object Maintenance {
     val staged =
       if (affected.isEmpty) Seq.empty
       else {
-        val kept = table.readFiles(spark, affected) // anti-join applies here
+        val kept = table.readFiles(spark, affected, deletes) // anti-join applies here
         val nOut = math.max(1, math.ceil(
           affected.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
         table.stageWrite(kept.repartitionByRange(nOut, col("doc_id")),
@@ -836,9 +873,9 @@ object Maintenance {
   }
 
   private def deterministicStepId(
-      op: String, table: TokenTable, layout: Layout,
+      op: String, planSnapshotId: Option[Long], layout: Layout,
       targetBytes: Long, victims: Seq[DataFileMeta]): String = {
     val h = (layout.describe, targetBytes, victims.map(_.path).sorted).hashCode()
-    s"$op-snap${table.metadata.currentSnapshotId.getOrElse(0L)}-${Integer.toHexString(h)}"
+    s"$op-snap${planSnapshotId.getOrElse(0L)}-${Integer.toHexString(h)}"
   }
 }

@@ -106,24 +106,51 @@ final class HmacSigner(key: Array[Byte]) {
     mac.doFinal(data).map("%02x".format(_)).mkString.getBytes("UTF-8")
   }
 
-  /** Wire format: hex(signature) + '\n' + data. (The reference concatenates
-    * the RAW digest before the newline separator; hex keeps the separator
-    * unambiguous — a raw SHA-256 digest can itself contain 0x0a.) */
+  /** Wire format: "hmac1:" + hex(signature) + '\n' + data. The version
+    * prefix makes signed blobs self-describing, so a store that starts
+    * signing mid-life can tell a legacy UNSIGNED blob (pre-existing stream
+    * cursors, in-flight ledger units) apart from a tampered one and fail
+    * with an actionable message instead of a false tamper alarm. (The
+    * reference concatenates the RAW digest before the separator; hex keeps
+    * the '\n' separator unambiguous — a raw digest can itself contain 0x0a.) */
   def sign(data: Array[Byte]): Array[Byte] =
-    digestHex(data) ++ Array('\n'.toByte) ++ data
+    HmacSigner.VersionPrefix.getBytes("UTF-8") ++
+      digestHex(data) ++ Array('\n'.toByte) ++ data
 
-  /** Verify and strip the signature; constant-time compare. */
+  /** Verify and strip the signature; constant-time compare. Accepts the
+    * prefixless round-4 signed format for old blobs; a blob in neither
+    * signed format is reported as UNSIGNED (signing enabled after it was
+    * written), not as tampering. */
   def verify(blob: Array[Byte]): Array[Byte] = {
-    val nl = blob.indexOf('\n'.toByte)
+    val prefix = HmacSigner.VersionPrefix.getBytes("UTF-8")
+    val body =
+      if (blob.length >= prefix.length && blob.startsWith(prefix)) blob.drop(prefix.length)
+      else if (looksLegacySigned(blob)) blob
+      else throw new InvalidSignatureException(
+        "checkpoint blob is not in signed format — checkpoint signing " +
+          s"(${ObjectStore.HmacKeyProperty}) was enabled after this blob was " +
+          "written. Clear stale checkpoints (ledger/, stream cursors) or " +
+          "rewrite them signed before enabling the key; this is not tampering.")
+    val nl = body.indexOf('\n'.toByte)
     if (nl != 64) throw new InvalidSignatureException("malformed signed object")
-    val data = blob.drop(nl + 1)
-    if (!java.security.MessageDigest.isEqual(blob.slice(0, nl), digestHex(data)))
+    val data = body.drop(nl + 1)
+    if (!java.security.MessageDigest.isEqual(body.slice(0, nl), digestHex(data)))
       throw new InvalidSignatureException("checkpoint signature mismatch")
     data
   }
+
+  /** Round-4 signed wire shape: 64 hex chars then '\n'. A JSON/YAML/pickle
+    * checkpoint blob cannot match (its first bytes are structural chars). */
+  private def looksLegacySigned(blob: Array[Byte]): Boolean =
+    blob.length > 64 && blob(64) == '\n'.toByte &&
+      blob.take(64).forall(b =>
+        (b >= '0' && b <= '9') || (b >= 'a' && b <= 'f'))
 }
 
 object HmacSigner {
+  /** Signed-blob wire-format version tag (see [[HmacSigner.sign]]). */
+  val VersionPrefix = "hmac1:"
+
   def fromBase64(b64: String): HmacSigner =
     new HmacSigner(java.util.Base64.getDecoder.decode(b64))
 }

@@ -50,13 +50,15 @@ object Partitioning {
 
   /** The driver-side value form: the partition value a row with `value` in
     * the field's column lands in (string rendering matches the column form's
-    * directory name). `dataType` must be the column's type — the bucket hash
-    * for an integral column is `value % n` in BOTH forms, while a string
-    * column polynomial-hashes; passing the wrong type would disagree with
-    * the column form and prune wrongly. */
+    * directory name). `dataType` must be the column's ACTUAL type, looked up
+    * from the table schema — the bucket hash for an integral column is
+    * `value % n` in BOTH forms, while a string column polynomial-hashes;
+    * passing the wrong type disagrees with the column form and prunes rows
+    * away. No default: a silently-assumed StringType on an integral bucket
+    * column compiles and then drops rows. */
   def transformValue(
       f: PartitionField, value: String,
-      dataType: org.apache.spark.sql.types.DataType = StringType): String = f.transform match {
+      dataType: org.apache.spark.sql.types.DataType): String = f.transform match {
     case "identity" => value
     case "bucket" if dataType == StringType =>
       (graft.functions.TextHash.polyHash(

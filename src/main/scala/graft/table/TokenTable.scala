@@ -79,6 +79,28 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     manifestEntries(snap)
   }
 
+  // ---- snapshot-consistent planning views -------------------------------
+  // A maintenance planner must derive EVERY view it plans from (live files,
+  // pending delete paths, delete entries, spec, current snapshot id) from ONE
+  // immutable TableMetadata value. Two separate reads of the volatile `meta`
+  // open a race: a merge-on-read commit landing between them makes the
+  // planned delete-path set include the new delete while the victim set
+  // predates its appended file — commit validation then passes and the
+  // rewrite commits a second live copy of the upserted key.
+
+  /** Live data files of `m`'s current snapshot. */
+  def liveFiles(m: TableMetadata): Seq[DataFileMeta] =
+    manifestEntries(m.currentSnapshot.getOrElse(sys.error("table has no snapshot")))
+
+  /** Pending equality-delete key entries of `m`'s current snapshot. */
+  def deleteEntriesOf(m: TableMetadata): Seq[DataFileMeta] =
+    m.currentSnapshot.map(deleteEntries).getOrElse(Seq.empty)
+
+  /** Pending equality-delete file paths of `m`'s current snapshot — the
+    * value a rewrite passes to commit(readDeletePaths = …). */
+  def deletePathsOf(m: TableMetadata): Set[String] =
+    m.currentSnapshot.map(_.deletes.map(_.path).toSet).getOrElse(Set.empty)
+
   /**
    * Manifest-level min/max pruning (our analogue of the reference's
    * pushdown, …/dynamodb_extractor.py:70-85): select only files whose stats

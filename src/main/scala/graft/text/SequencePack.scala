@@ -107,7 +107,7 @@ object SequencePack {
     val c = col("chunk_id")
     withOffsets
       .filter(n > 0)
-      .select(withOffsets.columns.map(col) :+
+      .select(withOffsets.columns.toIndexedSeq.map(col) :+
         explode(sequence(
           expr(s"tok_offset div ${maxLen}L"),
           expr(s"(tok_offset + n_tok - 1) div ${maxLen}L"))).as("chunk_id"): _*)

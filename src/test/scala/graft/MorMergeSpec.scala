@@ -105,6 +105,37 @@ class MorMergeSpec extends SparkSpec {
     assert(t1.scan(spark).count() == 600)
   }
 
+  test("a MoR merge landing mid-plan on a shared table conflicts; retry converges") {
+    // The ADVICE-r4 race: with live files and pending-delete paths read from
+    // the volatile metadata SEPARATELY, a mergeMor landing between the reads
+    // puts its delete path into the planned set while its appended file is
+    // missing from the victim view — commit validation passes and a second
+    // live copy of the upserted doc_id lands. The one-snapshot planning rule
+    // must turn this into a CommitConflictException instead.
+    val t = fresh("mor-midplan")
+    val d0 = t.scan(spark).select(min(col("doc_id"))).head.getString(0)
+    import spark.implicits._
+    def payload(src: String) = Seq((d0, Seq(8), 1, src, "upsert"))
+      .toDF("doc_id", "tokens", "n_tok", "source", "_op")
+    graft.maintenance.Failpoints.armCallback("merge.after-live") { () =>
+      Maintenance.mergeMor(spark, t, payload("mor"))
+    }
+    try {
+      intercept[graft.table.CommitConflictException] {
+        Maintenance.mergeInto(spark, t, payload("cow"))
+      }
+    } finally graft.maintenance.Failpoints.reset()
+    val rows = t.scan(spark).filter(col("doc_id") === d0)
+      .select("source").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("mor"), s"expected exactly the MoR row, got $rows")
+    // the retrying wrapper replans against the MoR state and lands cleanly
+    Maintenance.mergeIntoRetrying(spark, t, payload("cow2"))
+    val after = t.scan(spark).filter(col("doc_id") === d0)
+      .select("source").collect().map(_.getString(0)).toSeq
+    assert(after == Seq("cow2"), s"got $after")
+    assert(t.scan(spark).count() == 1000)
+  }
+
   test("full-row upsert contract: evolved columns null out on MoR-updated rows (CoW preserves)") {
     import spark.implicits._
     import graft.table.AddColumn

@@ -43,6 +43,27 @@ class ObjectStoreSpec extends SparkSpec {
       ns.list("").contains("/unit.json") || base.list("job-7") == Seq("job-7/unit.json"))
   }
 
+  test("signed store: versioned wire format; unsigned legacy blob gets the migration error") {
+    val base = fsStore("os-versioned")
+    val signer = HmacSigner.fromBase64(keyB64)
+    val s = base.signed(signer)
+    s.put("cp.json", "state".getBytes("UTF-8"))
+    // on-disk blob is self-describing: hmac1: prefix
+    assert(new String(base.get("cp.json").get.take(6), "UTF-8") == "hmac1:")
+    // a pre-signing blob (key enabled mid-life) fails with the migration
+    // message, NOT a tamper alarm
+    base.put("legacy.json", """{"cursor": 42}""".getBytes("UTF-8"))
+    val e = intercept[InvalidSignatureException] { s.get("legacy.json") }
+    assert(e.getMessage.contains("not in signed format"))
+    assert(e.getMessage.contains("not tampering"))
+    // the prefixless round-4 SIGNED format still verifies (old signed blobs
+    // survive the wire-format upgrade)
+    val r4 = signer.sign("old-blob".getBytes("UTF-8"))
+      .drop(HmacSigner.VersionPrefix.length)
+    base.put("r4.json", r4)
+    assert(new String(s.get("r4.json").get, "UTF-8") == "old-blob")
+  }
+
   test("signed store: round-trip ok, tampered blob and wrong key fail loudly") {
     val base = fsStore("os-signed")
     val signer = HmacSigner.fromBase64(keyB64)

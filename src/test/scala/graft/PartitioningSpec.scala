@@ -47,7 +47,7 @@ class PartitioningSpec extends SparkSpec {
       val fileRows = t.readFiles(spark, Seq(f), Seq.empty).select("doc_id")
         .collect().map(_.getString(0))
       fileRows.foreach { id =>
-        assert(Partitioning.transformValue(bf, id) == f.partition.get("doc_id_bucket4"),
+        assert(Partitioning.transformValue(bf, id, org.apache.spark.sql.types.StringType) == f.partition.get("doc_id_bucket4"),
           s"row $id in wrong bucket file ${f.path}")
       }
     }
@@ -84,7 +84,7 @@ class PartitioningSpec extends SparkSpec {
     val kf = t.planFilesForKey(key)
     assert(kf.size < live.size, s"planned ${kf.size}/${live.size}")
     val bf = spec(1)
-    val want = Partitioning.transformValue(bf, key)
+    val want = Partitioning.transformValue(bf, key, org.apache.spark.sql.types.StringType)
     assert(kf.forall(_.partitionValue("doc_id_bucket4").forall(_ == want)))
     assert(t.lookup(spark, key).count() == 1)
   }
