@@ -704,6 +704,11 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       base.copy(partitionSpec = if (spec.isEmpty) None else Some(spec))
     }
 
+  /** Add/overwrite table properties (metadata-only commit) — thresholds,
+    * checkpoint signing keys, retention knobs. */
+  def updateProperties(props: Map[String, String]): TableMetadata =
+    updateMeta(base => base.copy(properties = base.properties ++ props))
+
   private def updateMeta(f: TableMetadata => TableMetadata): TableMetadata = {
     var attempt = 0
     while (attempt < 5) {
@@ -743,33 +748,151 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   }
 
   /** Reachability GC: delete data files and manifests not referenced by any
-    * retained snapshot. Returns deleted relative paths. Never deletes a file
-    * reachable from a retained snapshot (ScalaCheck-tested invariant). */
+    * retained snapshot, plus work-unit ledgers abandoned by crashed runs.
+    * Returns deleted relative paths. Never deletes a file reachable from a
+    * retained snapshot (ScalaCheck-tested invariant).
+    *
+    * Past `gc.distributed-threshold` total manifest entries (default 10k)
+    * with an active SparkSession, the heavy parts run as Spark jobs — one
+    * task per manifest parses entries, one task per data/ job-prefix
+    * directory lists recursively, and orphans are subtracted and deleted in
+    * executors. The driver touches only metadata-scale state (manifest
+    * NAMES, first-level directory names, and the orphan list itself, which
+    * is small relative to the table on any maintained deployment) — at
+    * 10^6+ files a single-threaded manifest parse + recursive driver
+    * listing is the GC wall, the same one Iceberg's remove-orphans solves
+    * with a distributed action. */
   def removeOrphans(): Seq[String] = {
     refresh()
     // Delete key files live under data/ and their manifests under metadata/:
     // both are reachable exactly like data files, or GC would corrupt every
     // snapshot that still needs a pending delete applied.
-    val reachableData: Set[String] =
-      meta.snapshots.flatMap(manifestEntries).map(_.path).toSet ++
-        meta.snapshots.flatMap(deleteEntries).map(_.path)
+    val deadData = orphanData(delete = true)
     val reachableManifests: Set[String] =
       meta.snapshots.flatMap(s => s.manifests ++ s.deletes).map(_.path).toSet
-    val deadData = listDataFiles().filterNot(reachableData.contains)
-    deadData.foreach(deleteDataFile)
     val deadManifests = fs.listStatus(metadataDir).toSeq
       .map(_.getPath.getName)
       .filter(n => n.startsWith("manifest-") && !reachableManifests.contains(n))
     deadManifests.foreach(n => fs.delete(new Path(metadataDir, n), false))
-    deadData ++ deadManifests
+    deadData ++ deadManifests ++ sweepStaleLedgers()
   }
 
   /** Files present in data/ but unreachable from any retained snapshot. */
-  def orphanFiles(): Seq[String] = {
-    val reachable: Set[String] =
-      meta.snapshots.flatMap(manifestEntries).map(_.path).toSet ++
-        meta.snapshots.flatMap(deleteEntries).map(_.path)
-    listDataFiles().filterNot(reachable.contains)
+  def orphanFiles(): Seq[String] = orphanData(delete = false)
+
+  /** Total manifest entries above which GC fans out to Spark jobs. */
+  private def gcDistributedThreshold: Long =
+    meta.properties.get("gc.distributed-threshold").map(_.toLong).getOrElse(10000L)
+
+  /** Orphaned data-file paths (optionally deleting them where computed). */
+  private def orphanData(delete: Boolean): Seq[String] = {
+    // distinct by path: carried-forward manifests appear in many snapshots
+    val manifestMetas: Seq[ManifestMeta] =
+      meta.snapshots.flatMap(s => s.manifests ++ s.deletes)
+        .groupBy(_.path).map(_._2.head).toSeq
+    val totalEntries = manifestMetas.map(_.addedFiles.toLong).sum
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    if (session.nonEmpty && totalEntries >= gcDistributedThreshold)
+      distributedOrphanData(session.get, manifestMetas.map(_.path), delete)
+    else {
+      val reachable: Set[String] =
+        meta.snapshots.flatMap(manifestEntries).map(_.path).toSet ++
+          meta.snapshots.flatMap(deleteEntries).map(_.path)
+      val dead = listDataFiles().filterNot(reachable.contains)
+      if (delete) dead.foreach(deleteDataFile)
+      dead
+    }
+  }
+
+  /** The distributed GC body: reachable = flatMap over manifests (entries
+    * parsed in tasks), listed = recursive listing fanned out per first-level
+    * data/ directory (job-prefix dirs — bounded by commit count, not file
+    * count), dead = listed.subtract(reachable), deleted per-partition in
+    * executors. Deletion is idempotent, so a retried task is harmless. */
+  private def distributedOrphanData(
+      spark: SparkSession, manifestNames: Seq[String], delete: Boolean): Seq[String] = {
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+    var t0 = System.nanoTime()
+    def tick(label: String): Unit = if (debug) {
+      System.err.println(f"STEP gc.$label ${(System.nanoTime() - t0) / 1e6}%.0fms")
+      t0 = System.nanoTime()
+    }
+    val sc = spark.sparkContext
+    val confBc = sc.broadcast(new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
+    val mdDirStr = metadataDir.toString
+    val rootStr = root.toString
+    val mSlices = math.max(1, math.min(manifestNames.size, sc.defaultParallelism * 2))
+    val reachable = sc.parallelize(manifestNames, mSlices).flatMap { name =>
+      val dir = new Path(mdDirStr)
+      val tfs = dir.getFileSystem(confBc.value.value)
+      TableJson.readManifest(readString(tfs, new Path(dir, name))).map(_.path)
+    }
+    val top = fs.listStatus(dataDir).toSeq
+    val loose = top.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => relativize(root, st.getPath))
+    val dirs = top.filter(_.isDirectory).map(_.getPath.toString)
+    val dSlices = math.max(1, math.min(math.max(dirs.size, 1), sc.defaultParallelism * 2))
+    // Hadoop's LocalFileSystem pays a per-file `ls -ld` exec to populate the
+    // LocatedFileStatus permissions that listFiles(recursive) returns (~4 ms/
+    // file — 2 min for 33k files); java.nio.Files.walk stats without it. Object
+    // stores / HDFS keep the recursive listFiles, which is their efficient
+    // paged-LIST call.
+    val listed = sc.parallelize(dirs, dSlices).flatMap { d =>
+      val p = new Path(d)
+      val tfs = p.getFileSystem(confBc.value.value)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      if (tfs.getScheme == "file") {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p.toUri.getPath))
+        try walk.forEach { q =>
+          if (q.getFileName.toString.endsWith(".parquet") &&
+              java.nio.file.Files.isRegularFile(q))
+            buf += relativize(new Path(rootStr), new Path(q.toUri))
+        } finally walk.close()
+      } else {
+        val it = tfs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            buf += relativize(new Path(rootStr), st.getPath)
+        }
+      }
+      buf
+    } ++ sc.parallelize(loose, 1)
+    tick("plan")
+    val dead = listed.subtract(reachable)
+    val out =
+      if (delete) dead.mapPartitions { it =>
+        val tfs = new Path(rootStr).getFileSystem(confBc.value.value)
+        it.map { rel => tfs.delete(new Path(rootStr, rel), false); rel }
+      } else dead
+    // the one driver-side collect is the orphan list itself — small on any
+    // maintained table, and the caller's return value either way
+    val collected = out.collect().toSeq.sorted
+    tick("run")
+    if (debug) System.err.println(s"GC orphans=${collected.size}")
+    collected
+  }
+
+  /** Sweep ledger directories abandoned by crashed runs: a stepId embeds the
+    * snapshot id it planned against (`…-snap<N>-…`), and once ANY newer
+    * commit lands, a resumed run replans and gets a fresh stepId — so a
+    * ledger whose embedded id is older than the current snapshot can never
+    * be resumed and would otherwise accumulate forever on busy tables. */
+  private def sweepStaleLedgers(): Seq[String] = {
+    val ledgerDir = new Path(metadataDir, "ledger")
+    val cur = meta.currentSnapshotId.getOrElse(return Seq.empty)
+    if (!fs.exists(ledgerDir)) return Seq.empty
+    val snapRe = "-snap(\\d+)-".r
+    fs.listStatus(ledgerDir).toSeq.filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      snapRe.findFirstMatchIn(name) match {
+        case Some(g) if g.group(1).toLong < cur =>
+          fs.delete(st.getPath, true)
+          Some(s"metadata/ledger/$name")
+        case _ => None
+      }
+    }
   }
 
   def listDataFiles(): Seq[String] = {

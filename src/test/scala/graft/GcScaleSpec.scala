@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.gen.SequenceGen
+import graft.maintenance.Maintenance
+import graft.table.{DataFileMeta, TokenTable}
+
+/** Reachability GC at file counts where a driver-side manifest parse +
+  * recursive listing stops scaling: past the threshold the whole pass —
+  * manifest entry parsing, data/ listing, orphan subtraction and deletion —
+  * runs as Spark jobs, and must agree exactly with the driver path. */
+class GcScaleSpec extends SparkSpec {
+
+  private def entry(prefix: String, i: Int): DataFileMeta = {
+    val id = f"doc$i%012d"
+    DataFileMeta(
+      path = s"data/$prefix/$id.parquet", records = 10, bytes = 10,
+      minDocId = id, maxDocId = id, minNTok = 16, maxNTok = 512,
+      sumNTok = 100L, sources = Seq("web"))
+  }
+
+  /** A table whose current snapshot references `nReachable` REAL (empty)
+    * files spread over `nManifests` manifests, plus `nOrphans` real files no
+    * snapshot references. Files are fabricated via java.nio (content is
+    * never read by GC — reachability is pure path algebra). */
+  private def fabricate(
+      root: String, nReachable: Int, nOrphans: Int, nManifests: Int): TokenTable = {
+    val t = TokenTable.create(spark, root)
+    val entries = (0 until nReachable).map(entry("live", _))
+    (entries.map(_.path) ++ (0 until nOrphans).map(entry("orphan", _).path)).foreach { rel =>
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.createFile(p)
+    }
+    t.commit("append", entries)
+    Maintenance.rewriteManifests(t, entriesPerManifest = nReachable / nManifests)
+    t
+  }
+
+  test("distributed GC: 30k reachable + 3k orphans, zero driver entry parses needed") {
+    val root = tmpDir("gc-scale") + "/tbl"
+    val t = fabricate(root, nReachable = 30000, nOrphans = 3000, nManifests = 30)
+    assert(t.metadata.currentSnapshot.get.manifests.size == 30)
+    val t0 = System.nanoTime()
+    val dead = t.removeOrphans()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val deadData = dead.filter(_.startsWith("data/"))
+    assert(deadData.size == 3000, s"deleted ${deadData.size} orphans")
+    assert(deadData.forall(_.startsWith("data/orphan/")))
+    // every reachable file survived — the invariant GC must never break
+    assert(Files.list(Paths.get(root, "data/live")).count() == 30000)
+    assert(!Files.exists(Paths.get(root, "data/orphan")) ||
+      Files.list(Paths.get(root, "data/orphan")).count() == 0)
+    assert(sec < 60.0, f"GC took $sec%.1fs")
+    // second run is a no-op
+    assert(t.removeOrphans().forall(!_.startsWith("data/")))
+  }
+
+  test("driver path (below threshold) and distributed path agree") {
+    val rootA = tmpDir("gc-agree-a") + "/tbl"
+    val rootB = tmpDir("gc-agree-b") + "/tbl"
+    // same layout; A forced distributed via a tiny threshold property, B driver
+    val a = {
+      val t = fabricate(rootA, nReachable = 400, nOrphans = 40, nManifests = 4)
+      t.updateProperties(Map("gc.distributed-threshold" -> "1"))
+      t
+    }
+    val b = fabricate(rootB, nReachable = 400, nOrphans = 40, nManifests = 4)
+    val da = a.removeOrphans().filter(_.startsWith("data/")).map(_.replace(rootA, ""))
+    val db = b.removeOrphans().filter(_.startsWith("data/")).map(_.replace(rootB, ""))
+    assert(da.sorted == db.sorted)
+    assert(da.size == 40)
+  }
+
+  test("stale crashed-run ledgers are swept; the current snapshot's survive") {
+    val root = tmpDir("gc-ledger") + "/tbl"
+    val t = SequenceGen.createTable(spark, root, 300, 2)
+    val cur = t.metadata.currentSnapshotId.get
+    def mkLedger(stepId: String): Unit = {
+      val p = Paths.get(root, s"metadata/ledger/$stepId")
+      Files.createDirectories(p)
+      Files.writeString(p.resolve("unit.json"), "[]")
+    }
+    mkLedger(s"compact-snap${cur - 1}-dead")   // abandoned: planned pre-current
+    mkLedger(s"merge-snap0-aa-bb")             // abandoned: ancient
+    mkLedger(s"compact-snap$cur-live")         // resumable: planned at current
+    val dead = t.removeOrphans()
+    assert(dead.contains(s"metadata/ledger/compact-snap${cur - 1}-dead"))
+    assert(dead.contains("metadata/ledger/merge-snap0-aa-bb"))
+    assert(!Files.exists(Paths.get(root, s"metadata/ledger/compact-snap${cur - 1}-dead")))
+    assert(Files.exists(Paths.get(root, s"metadata/ledger/compact-snap$cur-live")),
+      "GC must not sweep a ledger that a crashed run at the CURRENT snapshot can resume")
+  }
+
+  test("GC never deletes pending MoR delete-key files (distributed path)") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("gc-mor") + "/tbl"
+    val t = SequenceGen.createTable(spark, root, 1200, 3)
+    val d0 = t.scan(spark).select(min(col("doc_id"))).head.getString(0)
+    Maintenance.deleteWhereMor(spark, t, Maintenance.DocIdBetween(d0, d0))
+    t.updateProperties(Map("gc.distributed-threshold" -> "1"))
+    val before = t.scan(spark).count()
+    t.removeOrphans()
+    assert(t.scan(spark).count() == before, "GC broke the pending-delete anti-join")
+    assert(t.metadata.currentSnapshot.get.deletes.nonEmpty)
+  }
+}
