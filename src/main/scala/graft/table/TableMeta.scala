@@ -134,9 +134,24 @@ final case class Snapshot(
     // on snapshots with no pending deletes). Each entry lists delete key
     // files — parquet of doc_id keys — whose addedSeq is the delete's
     // sequence number; a delete applies to data files with a smaller seq.
-    deleteManifests: Option[Seq[ManifestMeta]] = None) {
+    deleteManifests: Option[Seq[ManifestMeta]] = None,
+    // Where this snapshot's manifest list lives on disk (relative to
+    // metadata/). Snapshots are immutable, so the list file is written
+    // exactly once, at the commit that created the snapshot; v{N}.json then
+    // carries only this reference plus the header fields, making commit
+    // metadata cost O(current snapshot) instead of O(full history) —
+    // Iceberg's manifest-list design. None on metadata written before the
+    // feature (lists inline) and always None in a HYDRATED in-memory
+    // Snapshot's on-disk twin. In memory, `manifests`/`deleteManifests` are
+    // always populated (TokenTable hydrates at load, caching by list path).
+    manifestList: Option[String] = None) {
   def deletes: Seq[ManifestMeta] = deleteManifests.getOrElse(Seq.empty)
 }
+
+/** On-disk content of one snapshot's manifest-list file (`snap-*.json`). */
+final case class ManifestListFile(
+    manifests: Seq[ManifestMeta],
+    deleteManifests: Option[Seq[ManifestMeta]] = None)
 
 /** A named snapshot reference (Iceberg-style): `tag` pins a snapshot
   * immutably (a training job reads "prod" however much maintenance runs
@@ -199,4 +214,6 @@ object TableJson {
   def readMetadata(s: String): TableMetadata = JsonMethods.parse(s).extract[TableMetadata]
   def readManifest(s: String): Seq[DataFileMeta] =
     JsonMethods.parse(s).extract[Seq[DataFileMeta]]
+  def readManifestList(s: String): ManifestListFile =
+    JsonMethods.parse(s).extract[ManifestListFile]
 }

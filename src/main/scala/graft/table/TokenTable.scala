@@ -39,6 +39,15 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
 
   import TokenTable._
 
+  /** Manifest lists by list-file path. List files are immutable (written once
+    * at the commit that created their snapshot), so entries never invalidate;
+    * size is bounded by retained history. With a warm cache a refresh reads
+    * v{N}.json plus only the list files of snapshots it has not seen —
+    * steady-state O(1) reads per refresh on a streaming table. Declared
+    * before `meta`: the constructor's initial load already hydrates. */
+  private val manifestListCache =
+    scala.collection.concurrent.TrieMap.empty[String, ManifestListFile]
+
   @volatile private var meta: TableMetadata = loadCurrentMetadata()
 
   def metadata: TableMetadata = meta
@@ -52,7 +61,46 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   private def loadCurrentMetadata(): TableMetadata = {
     val v = currentVersion()
     require(v >= 0, s"no table at $root")
-    TableJson.readMetadata(readString(fs, new Path(metadataDir, s"v$v.json")))
+    hydrate(TableJson.readMetadata(readString(fs, new Path(metadataDir, s"v$v.json"))))
+  }
+
+  /** Populate every snapshot's manifests from its manifest-list file. A
+    * cold instance pays one small read per retained snapshot (bounded by
+    * [[expireSnapshots]]); inline-format snapshots (pre-manifest-list
+    * metadata) pass through unchanged. */
+  private def hydrate(m: TableMetadata): TableMetadata =
+    m.copy(snapshots = m.snapshots.map { s =>
+      s.manifestList match {
+        case Some(rel) if s.manifests.isEmpty && s.deletes.isEmpty =>
+          val list = manifestListCache.getOrElseUpdate(
+            rel, TableJson.readManifestList(readString(fs, new Path(metadataDir, rel))))
+          s.copy(manifests = list.manifests, deleteManifests = list.deleteManifests)
+        case _ => s
+      }
+    })
+
+  /** Spill each snapshot's manifest list to its own immutable file so the
+    * version file carries only headers. Returns (in-memory form: hydrated +
+    * stamped with list refs so later commits reuse the files, on-disk form:
+    * lists emptied). Racing committers of the same snapshot id write
+    * distinct uuid-suffixed files; the loser's becomes an orphan that
+    * [[removeOrphans]] sweeps. */
+  private def dehydrate(m: TableMetadata): (TableMetadata, TableMetadata) = {
+    val stamped = m.snapshots.map { s =>
+      s.manifestList match {
+        case Some(_) => s
+        case None =>
+          val rel = s"snap-${s.snapshotId}-${UUID.randomUUID().toString.take(8)}.json"
+          val list = ManifestListFile(s.manifests, s.deleteManifests)
+          writeString(fs, new Path(metadataDir, rel), TableJson.write(list))
+          manifestListCache.put(rel, list)
+          s.copy(manifestList = Some(rel))
+      }
+    }
+    val inMem = m.copy(snapshots = stamped)
+    val onDisk = inMem.copy(snapshots = stamped.map(
+      _.copy(manifests = Seq.empty, deleteManifests = None)))
+    (inMem, onDisk)
   }
 
   def currentVersion(): Int = {
@@ -539,9 +587,9 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
           snapshots = base.snapshots :+ snap,
           refs = Some(base.refMap + (b -> SnapshotRef(snap.snapshotId, "branch"))))
       }
-      if (tryCommitVersion(currentVersion() + 1, next)) {
-        meta = next
-        return snap
+      tryCommitVersion(currentVersion() + 1, next).foreach { committed =>
+        meta = committed
+        return committed.snapshot(snap.snapshotId).getOrElse(snap)
       }
       attempt += 1
       if (attempt > retries)
@@ -571,7 +619,10 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         summary = Map("manifests" -> manifests.size.toString),
         deleteManifests = parent.deleteManifests)
       val next = base.withSnapshot(snap)
-      if (tryCommitVersion(currentVersion() + 1, next)) { meta = next; return snap }
+      tryCommitVersion(currentVersion() + 1, next).foreach { committed =>
+        meta = committed
+        return committed.snapshot(snap.snapshotId).getOrElse(snap)
+      }
       attempt += 1
     }
     throw new CommitConflictException(s"manifest rewrite lost commit race at $root")
@@ -605,9 +656,14 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     }.collect().toSeq
   }
 
-  private def tryCommitVersion(version: Int, m: TableMetadata): Boolean = {
+  /** Returns the committed metadata (manifest lists spilled and stamped) on
+    * a won race, None on a lost one. The winner MUST adopt the returned
+    * value as its in-memory state — it carries the list-file refs that keep
+    * later commits from re-spilling identical lists under fresh names. */
+  private def tryCommitVersion(version: Int, m: TableMetadata): Option[TableMetadata] = {
+    val (inMem, onDisk) = dehydrate(m)
     val tmp = new Path(metadataDir, s".tmp-${UUID.randomUUID()}.json")
-    writeString(fs, tmp, TableJson.write(m))
+    writeString(fs, tmp, TableJson.write(onDisk))
     val dst = new Path(metadataDir, s"v$version.json")
     // rename refuses to clobber: first committer of v<N> wins.
     val won = !fs.exists(dst) && fs.rename(tmp, dst)
@@ -622,7 +678,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       if (fs.exists(hint)) fs.delete(hint, false)
       if (!fs.rename(hintTmp, hint)) fs.delete(hintTmp, false) // lost hint race: advisory
     } else fs.delete(tmp, false)
-    won
+    if (won) Some(inMem) else None
   }
 
   // ------------------------------------------------------------ maintenance
@@ -714,7 +770,9 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     while (attempt < 5) {
       val base = refresh()
       val next = f(base)
-      if (tryCommitVersion(currentVersion() + 1, next)) { meta = next; return next }
+      tryCommitVersion(currentVersion() + 1, next).foreach { committed =>
+        meta = committed; return committed
+      }
       attempt += 1
     }
     throw new CommitConflictException(s"metadata update lost commit race at $root")
@@ -741,7 +799,9 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
           olderThanMs.map(cut => base.snapshots.filter(_.timestampMs >= cut).map(_.snapshotId))
             .getOrElse(Seq.empty)).toSet
       val next = base.copy(snapshots = base.snapshots.filter(s => keepIds.contains(s.snapshotId)))
-      if (tryCommitVersion(currentVersion() + 1, next)) { meta = next; return next }
+      tryCommitVersion(currentVersion() + 1, next).foreach { committed =>
+        meta = committed; return committed
+      }
       attempt += 1
     }
     throw new CommitConflictException(s"expireSnapshots lost commit race at $root")
@@ -769,10 +829,12 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     // snapshot that still needs a pending delete applied.
     val deadData = orphanData(delete = true)
     val reachableManifests: Set[String] =
-      meta.snapshots.flatMap(s => s.manifests ++ s.deletes).map(_.path).toSet
+      meta.snapshots.flatMap(s => s.manifests ++ s.deletes).map(_.path).toSet ++
+        meta.snapshots.flatMap(_.manifestList)
     val deadManifests = fs.listStatus(metadataDir).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("manifest-") && !reachableManifests.contains(n))
+      .filter(n => (n.startsWith("manifest-") || n.startsWith("snap-")) &&
+        !reachableManifests.contains(n))
     deadManifests.foreach(n => fs.delete(new Path(metadataDir, n), false))
     deadData ++ deadManifests ++ sweepStaleLedgers()
   }
