@@ -261,10 +261,24 @@ object Bench {
       if (best.bwN > 0) Some((best.bw4N / best.bwN) / (nBig.toDouble / nSmall)) else None
 
     // Per-query timings at local[32] over the driver-provided scale factor.
-    // One warmup query first so the alphabetically-first timed query does not
-    // absorb session + codegen warmup.
+    // Untimed warmup first so no timed query absorbs one-time session + JIT
+    // + codegen cost (standard steady-state benchmarking, the JMH
+    // discipline): one catalog query for the scan/agg paths, plus a
+    // 200-row in-memory toy through the MinHash-LSH → connected-components
+    // stack, whose operator family (native hash exprs, capped bucket
+    // collect, HOF pair expansion, iterative join rounds) appears nowhere
+    // else before ddp_* runs. The toy shares NO input or cache key with the
+    // timed queries — ddp_* still does all of its sf-scale work cold.
     val spark = session(32)
-    try { SparkEntry.queries("agg_pricing")(spark, sfDir).count() }
+    try {
+      SparkEntry.queries("agg_pricing")(spark, sfDir).count()
+      import org.apache.spark.sql.functions._
+      val toy = spark.range(200).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(col("id") * lit(i + 3), lit(17)))): _*).as("text"))
+      text.DedupOps.connectedComponents(
+        text.DedupOps.minhashLshPairs(toy, 4, 3, 3, 0.6)).count()
+    }
     catch { case _: Throwable => () }
     val results: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -129,6 +129,71 @@ case class WordSetHashes(child: Expression)
     copy(child = newChild)
 }
 
+/** The k MinHash signature values of a text's word n-gram shingles, from an
+  * ALREADY-MATERIALIZED [[WordHashStates]] array — the native form of
+  * `minHashes(shingleHashesFromStates(states, n), k)`: window hashes
+  * composed via the polynomial concatenation identity
+  * ([[graft.text.TextOps.polyConcat2]]), each fed through the
+  * Kirsch–Mitzenmacher double-hash family ([[graft.text.TextOps.seededHash]])
+  * with a running min per family member. One JVM pass, O(words · (n + k))
+  * long arithmetic — the columnar form walks the shingle array k times
+  * through interpreted lambdas and was the measured LSH-build cost center.
+  * Values are BIT-IDENTICAL to the columnar reference (DedupSpec-pinned):
+  * identical window set (size < n yields the one short window, matching
+  * `sequence(0, greatest(size-n, 0))` + short `slice`), identical mod-p
+  * arithmetic (all operands non-negative, so `%` equals `pmod`). */
+case class ShingleMinHashes(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && k >= 1 && k <= 64, "shingle n >= 1, 1 <= k <= 64")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_min_hashes"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    import TextHash.{P1, P2}
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val size = arr.numElements()
+    val h1 = new Array[Long](size); val h2 = new Array[Long](size)
+    val p1 = new Array[Long](size); val p2 = new Array[Long](size)
+    var i = 0
+    while (i < size) {
+      val st = arr.getStruct(i, 4)
+      h1(i) = st.getLong(0); h2(i) = st.getLong(1)
+      p1(i) = st.getLong(2); p2(i) = st.getLong(3)
+      i += 1
+    }
+    // A caller-supplied EMPTY states array matches the columnar fallback:
+    // one window whose null first element coalesces to (0, 0), so member s
+    // of the family evaluates to s. (The word splitter never produces this
+    // case — split("", re) = [""].)
+    if (size == 0)
+      return new GenericArrayData(Array.tabulate(k)(_.toLong))
+    val mins = Array.fill(k)(Long.MaxValue)
+    val lastStart = math.max(size - n, 0)
+    i = 0
+    while (i <= lastStart) {
+      var a1 = h1(i); var a2 = h2(i)
+      var j = i + 1
+      val end = math.min(i + n, size)
+      while (j < end) {
+        a1 = (((a1 * 131 + 32) % P1) * p1(j) + h1(j)) % P1
+        a2 = (((a2 * 137 + 32) % P2) * p2(j) + h2(j)) % P2
+        j += 1
+      }
+      var s = 0
+      while (s < k) {
+        val v = ((s + 1).toLong * a1 + (s.toLong * s + 1) * a2 + s) % P1
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHashes =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling hash of the raw character stream — the native form of
   * [[graft.text.TextOps.polyHash]] (and of `fingerprint64` at base 131 mod
   * p1). */

@@ -518,13 +518,12 @@ object QueryCatalog {
     val cached = lshPairCache.get()
     if (cached != null && cached._1 == key) cached._2
     else {
-      // The sf-scale documents parquet is a single ~MB split, which would
-      // serialize the per-row hash work on one core; spread the slim
-      // (id, text) projection across the session's parallelism first. (At
-      // production scale the scan itself has thousands of splits and the
-      // caller passes docs through un-repartitioned.)
+      // No up-front repartition: the whole per-row hash pipeline is one
+      // native pass now (ShingleMinHashes), so even a single ~MB scan split
+      // hashes in well under a task's fixed overhead — an explicit exchange
+      // here costs a full-corpus shuffle and buys nothing. (At production
+      // scale the scan has thousands of splits and parallelizes by itself.)
       val docs = tbl(s, dir, "documents")
-        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       val pairs = DedupOps.minhashLshPairs(docs, bands = 4,
         rowsPerBand = 3, shingleN = 3, verifyThreshold = 0.6).localCheckpoint()
       lshPairCache.set((key, pairs))

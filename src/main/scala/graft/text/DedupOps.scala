@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -85,6 +84,17 @@ object DedupOps {
   /** The pure-column reference formulation of [[wordHashStates]]. */
   private[graft] def wordHashStatesColumnar(textCol: org.apache.spark.sql.Column) =
     transform(split(lower(trim(textCol)), "\\s+"), w => TextOps.polyHash2Pow(w))
+
+  /** All k MinHash values of the word n-gram shingles, from a materialized
+    * [[wordHashStates]] attribute, in ONE native pass (see
+    * [[graft.functions.ShingleMinHashes]]). The columnar reference is
+    * `minHashes(shingleHashesFromStates(states, n), k)`; DedupSpec pins
+    * their bit-equality over nasty strings. */
+  private[graft] def shingleMinHashes(
+      states: org.apache.spark.sql.Column, n: Int, k: Int) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ShingleMinHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(states), n, k))
 
   /** Shingle (h1, h2) hashes from an ALREADY-MATERIALIZED word-state array
     * attribute: each window's hash is assembled from its word states with
@@ -216,69 +226,89 @@ object DedupOps {
       textCol: String = "text",
       maxBucket: Int = 64): DataFrame = {
     val k = bands * rowsPerBand
-    // NOTE: no size(hp) > 0 filter here — it is vacuous (the window
+    // NOTE: no size filter on the shingle set — it is vacuous (the window
     // sequence always yields >= 1 element, exactly like the oracle's
-    // WHERE len(sh) > 0), and a filter over hp would be predicate-pushed
-    // BELOW the projections, inlining the whole interpreted hash pipeline
-    // into the Filter condition with `_ws` re-evaluated per window
-    // (a measured ~10x regression). Empty texts hash to the ""-shingle
+    // WHERE len(sh) > 0). Empty texts hash to the ""-shingle
     // pair; two empty docs verify at jaccard 1.0 ([""] ∩ [""] / [""] ∪ [""])
     // and ARE emitted as a pair — matching the string-shingle oracle
-    // (spec-pinned in DedupSpec).
-    val sigs = shingleHashed(docs, shingleN, idCol, textCol)
-      .select(col("id") +: minHashes(col("hp"), k): _*)
+    // (spec-pinned in DedupSpec). The full states→windows→k-member-min
+    // chain runs in the single native pass of [[shingleMinHashes]]; `_ws`
+    // is materialized in its own projection per the [[wordHashStates]]
+    // discipline.
+    val sigs = docs.select(col(idCol).as("id"), wordHashStates(col(textCol)).as("_ws"))
+      .select(col("id"), shingleMinHashes(col("_ws"), shingleN, k).as("mh"))
     val banded = sigs.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          array((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*).as("key"))
+          slice(col("mh"), b * rowsPerBand + 1, rowsPerBand).as("key"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.key").as("key"))
-    // Bucket-size annotation: one count-window over the (band, key) shuffle.
-    // The groupBy below reuses the same hash partitioning — no extra
-    // exchange for the split.
-    val sized = banded.withColumn("_n",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+    // One hash aggregation groups each (band, key) bucket with a HARD
+    // element cap ([[graft.functions.CappedLongCollect]]): ≤ maxBucket
+    // elements = the complete bucket; exactly maxBucket + 1 = the overflow
+    // marker for a bucket too big to pair in-row. No count-over-window
+    // bucket-size pass, so nothing sorts the banded relation, and no
+    // bucket ever materializes more than maxBucket + 1 ids in one row
+    // however duplicate-heavy the corpus.
+    val cappedIds = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.CappedLongCollect(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("id")),
+        maxBucket).toAggregateExpression())
+    val bucketed = banded.groupBy(col("band"), col("key"))
+      .agg(cappedIds.as("ids"))
     // Small buckets (the LSH common case — high-cardinality band keys):
-    // groupBy-bucket + in-row pair expansion, NOT a self-join; a self-join
-    // would execute the whole minhash pipeline once per side. Quadratic
-    // work only inside a ≤ maxBucket bucket, so a row holds at most
-    // maxBucket²/2 pair structs.
+    // in-row pair expansion over the complete collected bucket, NOT a
+    // self-join; a self-join would execute the whole minhash pipeline once
+    // per side. Quadratic work only inside a ≤ maxBucket bucket, so a row
+    // holds at most maxBucket²/2 pair structs.
     val sortedIds = sort_array(col("ids"))
     val pairCombos = flatten(transform(
       sequence(lit(0), size(sortedIds) - 2),
       i => transform(
         slice(sortedIds, i + 2, size(sortedIds)),
         b => struct(element_at(sortedIds, i + 1).as("id_a"), b.as("id_b")))))
-    val smallPairs = sized.filter(col("_n") <= maxBucket)
-      .groupBy(col("band"), col("key"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+    val smallPairs = bucketed
+      .filter(size(col("ids")) <= maxBucket && size(col("ids")) > 1)
       .select(explode(pairCombos).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       // sorted combos give a <= b; strictness guards a duplicated id ever
       // producing a self-pair
       .filter(col("id_a") < col("id_b"))
-    // Oversized buckets: the SAME pair set, streamed row-by-row through a
-    // slim (band, key) equi-join — each output row carries two ids, never a
-    // whole bucket, so memory stays bounded however duplicate-heavy the
-    // corpus. (The pair COUNT is still quadratic in the cluster size — that
-    // is the contract of emitting pairs; pipelines that expect giant
-    // duplicate clusters should run exactDedup first, as pipelineCurate
-    // does.)
-    val large = sized.filter(col("_n") > maxBucket).drop("_n")
+    // Oversized buckets: re-fetch their rows with a slim (band, key) join
+    // against the overflowed keys, then stream the SAME pair set row-by-row
+    // through an equi-join — each output row carries two ids, never a whole
+    // bucket, so memory stays bounded. In the common case the overflow set
+    // is empty and AQE prunes both joins without running them; when it is
+    // small AQE broadcasts it. (The pair COUNT is still quadratic in the
+    // cluster size — that is the contract of emitting pairs; pipelines that
+    // expect giant duplicate clusters should run exactDedup first, as
+    // pipelineCurate does.)
+    val largeKeys = bucketed.filter(size(col("ids")) === maxBucket + 1)
+      .select(col("band"), col("key"))
+    val large = banded.join(largeKeys, Seq("band", "key"))
     val largePairs = large.select(col("band"), col("key"), col("id").as("id_a"))
       .join(large.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val pairs = smallPairs.union(largePairs).distinct()
+    // Materialization barrier on the candidate pairs — NOT an optional
+    // cache: the pair relation is consumed by three downstream subtrees
+    // (both id-set projections and the verify join), and without a barrier
+    // Catalyst replans the whole scan→hash→band→bucket pipeline once per
+    // consumer (measured: 17 scans / 31 exchanges in one plan). The
+    // checkpointed relation is two longs per row — slim at any corpus
+    // scale — and the build is the expensive part worth running exactly
+    // once. Makes this call eager (it runs the build job).
+    val pairs = smallPairs.union(largePairs).distinct().localCheckpoint()
     // Exact-Jaccard verify over ONLY the matched docs: the semi-join
     // filters rows before the shingle recompute, so the verify pass costs
     // O(|matched docs|), not O(|corpus|). No broadcast hint — the matched-id
     // set is unbounded on duplicate-heavy corpora; AQE broadcasts it when
     // (and only when) it actually fits.
+    // No .distinct() on the id side: left_semi keeps each doc once however
+    // many pairs reference it, so a distinct here is a pure extra exchange.
     val pairIds = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
+      .union(pairs.select(col("id_b").as("id")))
     val vsh = docs
       .join(pairIds, docs(idCol) === pairIds("id"), "left_semi")
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
@@ -345,28 +375,45 @@ object DedupOps {
       maxIter: Int = 20,
       idA: String = "id_a",
       idB: String = "id_b"): DataFrame = {
+    // No .distinct() on the symmetrized edges: `pairs` is a deduplicated
+    // oriented relation (id_a < id_b, as minhashLshPairs emits), so the two
+    // directions cannot collide and a distinct is a pure extra exchange.
+    // Callers passing a duplicated pair relation pay redundant join rows,
+    // never wrong labels (min is idempotent).
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
-    var changed = 1L
-    var i = 0
+    // Round 1 fused into initialization: with identity labels the first
+    // propagation's neighbor minimum is just min(dst) per src — one
+    // aggregation replaces the distinct-nodes build AND the first
+    // join+agg round.
+    // The convergence count rides the checkpoint job as an Observation —
+    // each round (and the init) is exactly ONE job: the propagation
+    // join+agg whose materialization both pins the new labels and reports
+    // how many changed. A separate .count() per round was a second
+    // driver-blocking job over the same rows.
+    def checkpointCounting(df: DataFrame, changedIf: org.apache.spark.sql.Column): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(when(changedIf, 1)).as("changed")).localCheckpoint()
+      (ck, obs.get("changed").asInstanceOf[Long])
+    }
+    // Round 1 fused into initialization (cont.): one aggregation replaces
+    // the distinct-nodes build AND the first join+agg round.
+    var (labels, changed) = checkpointCounting(
+      edges.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("comp"))
+        .select(col("src").as("id"), col("comp")),
+      col("comp") =!= col("id"))
+    var i = 1
     while (changed > 0 && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("comp")).as("ncomp"))
-      // One checkpointed frame serves BOTH the convergence count and the
-      // next round's labels — the old/new comparison rides the same rows,
-      // so each round costs the propagation join + agg and nothing more
-      // (previously a separate updated⋈old join re-scanned both label sets
-      // per round just to count changes).
-      val joined = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(labels("id"), col("comp").as("_old"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = joined.filter(col("comp") =!= col("_old")).count()
+      val (joined, c) = checkpointCounting(
+        labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+          .select(labels("id"), col("comp").as("_old"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")),
+        col("comp") =!= col("_old"))
+      changed = c
       labels = joined.select(col("id"), col("comp"))
       i += 1
     }

@@ -68,6 +68,25 @@ class DedupSpec extends SparkSpec {
     assert(fp.filter(!(col("f") <=> col("f2"))).isEmpty, "CharPolyHash diverges")
   }
 
+  test("ShingleMinHashes == columnar minHashes over shingle hashes (nasty strings, several n/k)") {
+    for (n <- Seq(1, 3); k <- Seq(1, 12)) {
+      val native = nastyCorpus
+        .select(col("doc_id"), DedupOps.wordHashStates(col("text")).as("_ws"))
+        .select(col("doc_id"), DedupOps.shingleMinHashes(col("_ws"), n, k).as("mh"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val columnar = DedupOps.shingleHashed(nastyCorpus, n)
+        .select(col("id") +: DedupOps.minHashes(col("hp"), k): _*)
+        .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+      assert(native == columnar, s"diverges at n=$n k=$k")
+    }
+    // caller-supplied EMPTY states array: member s evaluates to s
+    val empty = Seq((1L, Seq.empty[(Long, Long, Long, Long)])).toDF("doc_id", "st")
+      .select(col("doc_id"), DedupOps.shingleMinHashes(
+        col("st").cast("array<struct<h1:bigint,h2:bigint,p1:bigint,p2:bigint>>"), 3, 4).as("mh"))
+      .as[(Long, Seq[Long])].head
+    assert(empty._2 == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("shingleHashed == polyHash2 over shingle strings (composition identity)") {
     for (n <- Seq(1, 2, 3, 4)) {
       val viaStrings = corpus.select(
