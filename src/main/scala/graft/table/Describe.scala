@@ -20,6 +20,7 @@ object Describe {
   private def fieldSpec(f: PartitionField): String = f.transform match {
     case "identity" => f.column
     case "bucket"   => s"bucket(${f.column}, ${f.n.get})"
+    case "truncate" => s"truncate(${f.column}, ${f.n.get})"
   }
 
   /** Plain schema rendering: one line per column with its stable field id,
@@ -54,8 +55,85 @@ object Describe {
       else m.spec.map(f => f.transform match {
         case "identity" => f.column
         case "bucket"   => s"bucket(${f.n.get}, ${f.column})"
+        case "truncate" => s"truncate(${f.n.get}, ${f.column})"
       }).mkString("\nPARTITIONED BY (", ", ", ")")
     s"CREATE TABLE $name (\n${cols.mkString(",\n")}\n)$part"
+  }
+
+  /** GraphQL scalar for a Spark type, per the reference's field mapping
+    * (graphql_schema_printer.py:55-66): integers render as BigInt, floats as
+    * Float, timestamps/dates as DateTime, arrays as list types; anything
+    * without a GraphQL analogue (binary, struct, map) degrades to String. */
+  private def graphqlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "String"
+      case LongType | IntegerType | ShortType | ByteType => "BigInt"
+      case DoubleType | FloatType | _: DecimalType => "Float"
+      case BooleanType => "Boolean"
+      case TimestampType | DateType => "DateTime"
+      case ArrayType(e, _) => s"[${graphqlType(e)}]"
+      case _ => "String"
+    }
+  }
+
+  /** `snake_case` → `SnakeCase` when the name is snake case, otherwise
+    * unchanged (the reference's ensure_camel_case,
+    * graphql_schema_printer.py:79-83). */
+  private def camelize(name: String): String =
+    if (name.matches("^[a-z0-9]+(_[a-z0-9]+)*$"))
+      name.split('_').map(_.capitalize).mkString
+    else name
+
+  /** GraphQL type-definition rendering of the current schema — the
+    * reference's GraphQL printer (graphql_schema_printer.py:8-36)
+    * re-expressed for a table: the table is the one node type (a table
+    * engine has no adjacency graph, so the relationship sections are
+    * empty by construction rather than omitted), camel-cased with the
+    * original name kept as a label when camelization changed it, read-only
+    * directives included, one field per column with the reference's
+    * scalar mapping. */
+  def schemaGraphql(t: TokenTable, name: String = "token_table"): String = {
+    val typeName = camelize(name)
+    val label = if (typeName != name) s""" @node(labels: ["$name"])""" else ""
+    val sb = new StringBuilder
+    sb ++= s"type $typeName @exclude(operations: [CREATE, DELETE, UPDATE])" +
+      s" @queryOptions(limit: {default: 10})$label {\n"
+    sb ++= "    # Node Properties\n"
+    t.schema.fields.foreach { f =>
+      val gql = graphqlType(f.dataType)
+      val req = if (f.nullable) "" else "!"
+      sb ++= s"    ${f.name}: $gql$req\n"
+    }
+    sb ++= "    # Inbound Relationships\n"
+    sb ++= "    # Outbound Relationships\n"
+    sb ++= "}\n"
+    sb.result()
+  }
+
+  /** Cypher-esque rendering — the reference's third printer
+    * (cypheresque.py:5-60): node types with `name: type` property lists,
+    * then relationship types and adjacency patterns (both empty for a
+    * single-table engine), then the operator-useful extra a table format
+    * can offer where a graph database has ensure-index migrations: the
+    * index statements implied by the partition spec and sort order. */
+  def schemaCypher(t: TokenTable, name: String = "token_table"): String = {
+    val m = t.metadata
+    val props = t.schema.fields
+      .map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")
+    val indexCols = m.spec.map(_.column) ++ m.sortOrder.filterNot(m.spec.map(_.column).contains)
+    val indexes = indexCols.zipWithIndex.map { case (c, i) =>
+      s"CREATE INDEX ${name}_idx_$i IF NOT EXISTS FOR (n:${camelize(name)}) ON (n.$c)"
+    }
+    s"""Node Types:
+       |$name: $props
+       |Relationship Types:
+       |
+       |Adjacencies:
+       |
+       |Ensure Indexes:
+       |${indexes.mkString("\n")}
+       |""".stripMargin
   }
 
   /** Snapshot history, oldest first: id, parent, operation, timestamp,

@@ -46,6 +46,15 @@ object Partitioning {
           pmod(graft.functions.GraftFunctions.char_poly_hash(
             col(f.column), 131, graft.functions.TextHash.P1), lit(n.toLong))
         else pmod(col(f.column).cast("long"), lit(n.toLong))
+      case "truncate" =>
+        val w = f.n.get
+        if (dataType == StringType) substring(col(f.column), 1, w)
+        else {
+          // floor to the width's multiple (Iceberg truncate): pmod keeps the
+          // floor correct for negative values too (-7 truncate 10 -> -10)
+          val v = col(f.column).cast("long")
+          v - pmod(v, lit(w.toLong))
+        }
     }
 
   /** The driver-side value form: the partition value a row with `value` in
@@ -66,6 +75,22 @@ object Partitioning {
     case "bucket" =>
       // mirrors the column form's pmod(cast long, n) for integral columns
       (((value.toLong % f.n.get) + f.n.get) % f.n.get).toString
+    case "truncate" if dataType == StringType =>
+      value.substring(0, math.min(f.n.get, value.length))
+    case "truncate" =>
+      val v = value.toLong
+      val w = f.n.get
+      (v - (((v % w) + w) % w)).toString
+  }
+
+  /** Exact interval test for a truncate-partitioned integral column: a file
+    * whose tuple records truncate value `v` holds only rows in
+    * [v, v + width), so it can match a query range iff the intervals
+    * overlap. Drives stats-free range pruning in `TokenTable.planFiles`. */
+  def truncateIntervalMayContain(
+      truncValue: String, width: Int, lo: Option[Long], hi: Option[Long]): Boolean = {
+    val v = truncValue.toLong
+    lo.forall(l => v + width > l) && hi.forall(h => v <= h)
   }
 
   /** Stamp the spec's `_p_*` columns onto a frame (no-op for empty spec). */

@@ -25,22 +25,28 @@ import org.json4s.jackson.Serialization
  * }}}
  */
 /** One field of a declared partition spec (Iceberg's hidden partitioning):
-  * `transform` is `identity` or `bucket` (with `n` buckets). The partition
-  * value is DERIVED from the data column at write time — readers filter on
-  * the data column and pruning happens through the transform, so queries
-  * never mention partition columns (the "hidden" in hidden partitioning). */
+  * `transform` is `identity`, `bucket` (with `n` buckets) or `truncate`
+  * (with `n` = width: integral columns floor to the width's multiple,
+  * string columns keep the first `n` characters — Iceberg's truncate
+  * semantics). The partition value is DERIVED from the data column at write
+  * time — readers filter on the data column and pruning happens through the
+  * transform, so queries never mention partition columns (the "hidden" in
+  * hidden partitioning). */
 final case class PartitionField(column: String, transform: String, n: Option[Int] = None) {
-  require(transform == "identity" || transform == "bucket", s"unknown transform '$transform'")
-  require(transform != "bucket" || n.exists(_ > 0), "bucket transform needs n > 0")
-  /** The partition tuple key this field contributes, e.g. `source` or
-    * `doc_id_bucket8`. The bucket count is PART of the key: after
-    * evolvePartitionSpec changes n, files written under the old spec carry a
-    * differently-named tuple entry, so pruning against the new spec finds no
-    * value and falls back to stats (conservative) instead of comparing a
-    * hash%4 value against a hash%8 expectation (silently wrong). */
+  require(transform == "identity" || transform == "bucket" || transform == "truncate",
+    s"unknown transform '$transform'")
+  require(transform == "identity" || n.exists(_ > 0), s"$transform transform needs n > 0")
+  /** The partition tuple key this field contributes, e.g. `source`,
+    * `doc_id_bucket8` or `n_tok_trunc100`. The parameter is PART of the
+    * key: after evolvePartitionSpec changes n, files written under the old
+    * spec carry a differently-named tuple entry, so pruning against the new
+    * spec finds no value and falls back to stats (conservative) instead of
+    * comparing a hash%4 value against a hash%8 expectation (silently
+    * wrong). */
   def name: String = transform match {
     case "identity" => column
     case "bucket"   => s"${column}_bucket${n.get}"
+    case "truncate" => s"${column}_trunc${n.get}"
   }
 }
 

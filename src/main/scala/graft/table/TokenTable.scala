@@ -169,6 +169,10 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val dHi = (docIdHi.toSeq ++ docIdRange.map(_._2)).minOption
     val tLo = (nTokLo.toSeq ++ nTokRange.map(_._1)).maxOption
     val tHi = (nTokHi.toSeq ++ nTokRange.map(_._2)).minOption
+    // truncate(n_tok, w) partition values allow stats-free exact range
+    // pruning: a file whose tuple records truncate value v holds only rows
+    // with n_tok in [v, v + w)
+    val truncFields = meta.spec.filter(f => f.transform == "truncate" && f.column == "n_tok")
     liveFiles(snapshotId).filter { f =>
       dLo.forall(lo => f.maxDocId >= lo) && dHi.forall(hi => f.minDocId <= hi) &&
       // identity-partition value beats stats when recorded (exact, not a range)
@@ -176,7 +180,14 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         case Some(v) => s.contains(v)
         case None    => f.sourceIntersects(s)
       }) &&
-      tLo.forall(lo => f.maxNTok >= lo) && tHi.forall(hi => f.minNTok <= hi)
+      tLo.forall(lo => f.maxNTok >= lo) && tHi.forall(hi => f.minNTok <= hi) &&
+      truncFields.forall { tf =>
+        // files written under a different width record a different tuple
+        // key -> None -> conservatively included (same evolution-safety
+        // contract as bucket pruning in planFilesForKey)
+        f.partitionValue(tf.name).forall(v => Partitioning.truncateIntervalMayContain(
+          v, tf.n.get, tLo.map(_.toLong), tHi.map(_.toLong)))
+      }
     }
   }
 

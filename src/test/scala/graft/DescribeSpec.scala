@@ -35,6 +35,37 @@ class DescribeSpec extends SparkSpec {
     assert(idLine.trim.startsWith("4:"), idLine)
   }
 
+  test("graphql printer: camelized type, label kept, scalar mapping, required marks") {
+    val t = TokenTable.create(spark, tmpDir("describe-gql") + "/tbl",
+      partitionSpec = Seq(PartitionField("source", "identity")))
+    val g = Describe.schemaGraphql(t, "token_table")
+    // golden shape: directives + label on the camelized type
+    assert(g.startsWith("type TokenTable @exclude(operations: [CREATE, DELETE, UPDATE])" +
+      " @queryOptions(limit: {default: 10}) @node(labels: [\"token_table\"]) {"), g)
+    assert(g.contains("    # Node Properties"), g)
+    assert(g.contains("    doc_id: String!"), g)   // non-null string key
+    assert(g.contains("    tokens: [BigInt]"), g)  // array<int> -> [BigInt]
+    assert(g.trim.endsWith("}"), g)
+    // already-camel name: no label directive
+    val g2 = Describe.schemaGraphql(t, "Sequences")
+    assert(g2.startsWith("type Sequences @exclude") && !g2.contains("@node"), g2)
+  }
+
+  test("cypher-esque printer: node-type line, empty graph sections, ensure-index statements") {
+    val t = TokenTable.create(spark, tmpDir("describe-cy") + "/tbl",
+      partitionSpec = Seq(
+        PartitionField("source", "identity"),
+        PartitionField("doc_id", "bucket", Some(8))))
+    val c = Describe.schemaCypher(t, "token_table")
+    val lines = c.linesIterator.toSeq
+    assert(lines.head == "Node Types:", c)
+    assert(lines(1).startsWith("token_table: doc_id: string"), c)
+    assert(lines.contains("Relationship Types:") && lines.contains("Adjacencies:"), c)
+    assert(c.contains(
+      "CREATE INDEX token_table_idx_0 IF NOT EXISTS FOR (n:TokenTable) ON (n.source)"), c)
+    assert(c.contains("ON (n.doc_id)"), c)
+  }
+
   test("history printer: one line per snapshot, current starred, refs attached") {
     val t = SequenceGen.createTable(spark, tmpDir("describe-h") + "/tbl", 100, 2)
     t.setRef("prod", t.metadata.currentSnapshotId.get, "tag")

@@ -89,6 +89,51 @@ class PartitioningSpec extends SparkSpec {
     assert(t.lookup(spark, key).count() == 1)
   }
 
+  test("truncate transform: column/value forms agree, tuples recorded, ranges prune exactly") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val tf = PartitionField("n_tok", "truncate", Some(256))
+    // value form floors to the width's multiple, incl. negatives (Iceberg)
+    assert(Partitioning.transformValue(tf, "300", LongType) == "256")
+    assert(Partitioning.transformValue(tf, "255", LongType) == "0")
+    assert(Partitioning.transformValue(tf, "-7", LongType) == "-256")
+    val sf = PartitionField("source", "truncate", Some(3))
+    assert(Partitioning.transformValue(sf, "webcrawl", StringType) == "web")
+    assert(Partitioning.transformValue(sf, "ab", StringType) == "ab")
+    // column form agrees with the value form on real data
+    val df = spark.range(-5, 50).select((col("id") * 37).cast("int").as("n_tok"))
+    val both = df.select(col("n_tok"),
+      Partitioning.transformCol(tf, org.apache.spark.sql.types.IntegerType).as("t"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1).toString ==
+        Partitioning.transformValue(tf, r.getInt(0).toString, LongType), r.toString)
+    }
+    // interval test: a file recording trunc value v holds rows in [v, v+w)
+    assert(Partitioning.truncateIntervalMayContain("256", 256, Some(300L), Some(400L)))
+    assert(!Partitioning.truncateIntervalMayContain("256", 256, Some(512L), None))
+    assert(!Partitioning.truncateIntervalMayContain("256", 256, None, Some(255L)))
+    assert(Partitioning.truncateIntervalMayContain("256", 256, Some(511L), Some(511L)))
+    // end-to-end: truncate-partitioned table records tuples and planFiles
+    // prunes a token-length scan to exactly the overlapping truncate values
+    val tspec = Seq(tf)
+    val t = TokenTable.create(spark, tmpDir("part-trunc") + "/tbl", partitionSpec = tspec)
+    val data = SequenceGen.sequences(spark, 400)
+    t.commit("append", t.stageWrite(
+      Partitioning.distributeByPartition(data, tspec, nOut = 4), "seed"))
+    val live = t.liveFiles()
+    assert(live.forall(_.partition.exists(_.contains("n_tok_trunc256"))), "tuple missing")
+    val truncVals = live.flatMap(_.partitionValue("n_tok_trunc256")).distinct
+    assert(truncVals.size > 1, s"need multiple truncate values, got $truncVals")
+    val planned = t.planFiles(nTokRange = Some((0, 255)))
+    assert(planned.nonEmpty && planned.size < live.size,
+      s"truncate pruning planned ${planned.size}/${live.size}")
+    assert(planned.forall(_.partitionValue("n_tok_trunc256").contains("0")), "wrong tuple survived")
+    // correctness: the pruned scan returns exactly the rows in range
+    val got = t.scan(spark, nTokRange = Some((0, 255))).filter(col("n_tok") <= 255).count()
+    val want = data.filter(col("n_tok") <= 255).count()
+    assert(got == want, s"pruned scan returned $got of $want rows")
+  }
+
   test("merge keeps alignment; unpartitioned tables are unaffected") {
     val t = fresh()
     val batch = SequenceGen.sequences(spark, 50, seed = 99L)
