@@ -215,6 +215,12 @@ object DedupOps {
    * template share every band) are routed through a streamed equi-join
    * instead of the in-row pair expansion, so no task ever materializes a
    * bucket's O(n²) pairs in one row.
+   *
+   * With `barrier = true` (the default) the call is EAGER: the candidate
+   * pairs materialize before the verify plans against them (see the barrier
+   * comment below). `barrier = false` returns the fully lazy plan — for
+   * `.explain` inspection or callers composing their own materialization —
+   * at the cost of the build subtree replanning once per consumer.
    */
   def minhashLshPairs(
       docs: DataFrame,
@@ -224,7 +230,8 @@ object DedupOps {
       verifyThreshold: Double = 0.7,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      barrier: Boolean = true): DataFrame = {
     val k = bands * rowsPerBand
     // NOTE: no size filter on the shingle set — it is vacuous (the window
     // sequence always yields >= 1 element, exactly like the oracle's
@@ -299,7 +306,8 @@ object DedupOps {
     // checkpointed relation is two longs per row — slim at any corpus
     // scale — and the build is the expensive part worth running exactly
     // once. Makes this call eager (it runs the build job).
-    val pairs = smallPairs.union(largePairs).distinct().localCheckpoint()
+    val pairsLazy = smallPairs.union(largePairs).distinct()
+    val pairs = if (barrier) pairsLazy.localCheckpoint() else pairsLazy
     // Exact-Jaccard verify over ONLY the matched docs: the semi-join
     // filters rows before the shingle recompute, so the verify pass costs
     // O(|matched docs|), not O(|corpus|). No broadcast hint — the matched-id
