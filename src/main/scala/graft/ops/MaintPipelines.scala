@@ -438,8 +438,7 @@ object MaintPipelines {
     val root = java.nio.file.Files.createTempDirectory("graft-part").toString
     val spec = Seq(
       PartitionField("source", "identity"),
-      PartitionField("doc_id", "bucket", Some(4)),
-      PartitionField("n_tok", "truncate", Some(256)))
+      PartitionField("doc_id", "bucket", Some(4)))
     val t = TokenTable.create(spark, s"$root/tbl", partitionSpec = spec)
     // partition-aware write distribution: cluster rows by partition tuple so
     // each write task holds few tuples (bounded partitionBy fan-out)
@@ -447,7 +446,7 @@ object MaintPipelines {
       tokensFromDocs(spark, sfDir), spec, nOut = 8)
     t.commit("append", t.stageWrite(df, "seed"))
     require(t.liveFiles().forall(_.partition.exists(p =>
-      p.contains("source") && p.contains("doc_id_bucket4") && p.contains("n_tok_trunc256"))),
+      p.contains("source") && p.contains("doc_id_bucket4"))),
       "staged file missing its partition tuple")
     // the rewrite path must keep alignment: MERGE rewrites touched files
     // through the same partition-aligned stageWrite
@@ -468,12 +467,26 @@ object MaintPipelines {
     val keyFiles = t.planFilesForKey(key)
     require(keyFiles.size < live.size, s"bucket pruning planned ${keyFiles.size}/${live.size}")
     require(t.lookup(spark, key).count() == 1, "point lookup lost the row")
-    // truncate pruning: a token-length scan plans only files whose recorded
-    // truncate interval overlaps the range (tokensFromDocs caps base n_tok
-    // at 512 with a 4096 spike, so [0, 255] excludes the upper tuples)
-    val shortFiles = t.planFiles(nTokRange = Some((0, 255)))
-    require(shortFiles.nonEmpty && shortFiles.size < live.size,
-      s"truncate pruning planned ${shortFiles.size}/${live.size} files")
+    // truncate pruning, proven on a SMALL offshoot table so the main
+    // source+bucket gate keeps its cost: truncate(n_tok, 256) on a 600-doc
+    // slice records interval tuples, and a token-length scan plans only
+    // files whose recorded interval overlaps the range — stats-free exact
+    // range pruning (tokensFromDocs caps base n_tok at 512 with a 4096
+    // spike, so [0, 255] excludes every other truncate value)
+    val tspec = Seq(PartitionField("n_tok", "truncate", Some(256)))
+    val t2 = TokenTable.create(spark, s"$root/trunc", partitionSpec = tspec)
+    val slice = tokensFromDocs(spark, sfDir)
+      .filter(expr("CAST(substring(doc_id, 4) AS BIGINT)") < 600)
+    t2.commit("append", t2.stageWrite(
+      graft.table.Partitioning.distributeByPartition(slice, tspec, nOut = 4), "seed"))
+    val live2 = t2.liveFiles()
+    require(live2.forall(_.partition.exists(_.contains("n_tok_trunc256"))),
+      "truncate tuple missing")
+    require(live2.flatMap(_.partitionValue("n_tok_trunc256")).distinct.size > 1,
+      "need multiple truncate values to prove pruning")
+    val shortFiles = t2.planFiles(nTokRange = Some((0, 255)))
+    require(shortFiles.nonEmpty && shortFiles.size < live2.size,
+      s"truncate pruning planned ${shortFiles.size}/${live2.size} files")
     require(shortFiles.forall(_.partitionValue("n_tok_trunc256").forall(_ == "0")),
       "truncate pruning kept a file whose interval cannot overlap [0,255]")
     verifiableScan(spark, t)
