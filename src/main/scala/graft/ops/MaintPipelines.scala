@@ -214,7 +214,7 @@ object MaintPipelines {
       smallFileThreshold = Some(16L * 1024 * 1024))
     Maintenance.rewriteManifests(t, entriesPerManifest = 2)
     t.expireSnapshots(retainLast = 1)
-    t.removeOrphans()
+    t.removeOrphans(graceMs = 0) // gate owns the table; no concurrent writers
     verifiableScan(spark, t)
   }
 
@@ -228,6 +228,7 @@ object MaintPipelines {
         |- implementation: expire_snapshots
         |  arguments: { retain_last: 1 }
         |- implementation: remove_orphans
+        |  arguments: { grace_ms: 0 }
         |""".stripMargin
     graft.plans.PipelineRunner.run(spark, t, graft.plans.PipelineDsl.parse(yaml))
     verifiableScan(spark, t)
@@ -418,7 +419,7 @@ object MaintPipelines {
     require(t.metadata.snapshots.size == snaps0 + 2,
       s"expected both merges to commit: ${t.metadata.snapshots.map(_.operation)}")
     require(Set(sa.snapshotId, sb.snapshotId).size == 2, "merges shared a snapshot id")
-    t.removeOrphans() // abandoned attempts' staged files
+    t.removeOrphans(graceMs = 0) // abandoned attempts' staged files; gate owns the table
     verifiableScan(spark, t)
   }
 

@@ -51,7 +51,11 @@ final case class RewriteManifestsStep(entriesPerManifest: Int) extends PipelineS
 final case class ExpireSnapshotsStep(retainLast: Int, olderThanMs: Option[Long]) extends PipelineStep {
   def name = "expire_snapshots"
 }
-case object RemoveOrphansStep extends PipelineStep { def name = "remove_orphans" }
+/** `grace_ms` optionally overrides the table's `gc.grace-period-ms` window
+  * (pass 0 only on tables with no concurrent writers). */
+final case class RemoveOrphansStep(graceMs: Option[Long] = None) extends PipelineStep {
+  def name = "remove_orphans"
+}
 final case class DeleteWhereStep(pred: Maintenance.DeletePredicate) extends PipelineStep {
   def name = "delete_where"
 }
@@ -135,7 +139,7 @@ object PipelineDsl {
         long("target_file_bytes", Maintenance.DefaultTargetFileBytes))
       case "rewrite_manifests" => RewriteManifestsStep(int("entries_per_manifest", 1000))
       case "expire_snapshots" => ExpireSnapshotsStep(int("retain_last", 1), optLong("older_than_ms"))
-      case "remove_orphans" => RemoveOrphansStep
+      case "remove_orphans" => RemoveOrphansStep(optLong("grace_ms"))
       case "delete_where" =>
         if (args.contains("source_in"))
           DeleteWhereStep(Maintenance.SourceIn(cols("source_in", Seq.empty).toSet))
@@ -252,8 +256,12 @@ object PlanOptimizer {
       val merged = ExpireSnapshotsStep(math.min(r1, r2),
         (o1.toSeq ++ o2.toSeq).maxOption)
       rewriteOnce(merged :: rest)
-    case RemoveOrphansStep :: RemoveOrphansStep :: rest =>
-      rewriteOnce(RemoveOrphansStep :: rest)
+    // running GC twice == running it once at the smaller grace window;
+    // mixed explicit/default windows stay as two steps (the default is a
+    // table property unknown at optimize time)
+    case RemoveOrphansStep(g1) :: RemoveOrphansStep(g2) :: rest
+        if g1.isDefined == g2.isDefined =>
+      rewriteOnce(RemoveOrphansStep((g1.toSeq ++ g2.toSeq).minOption) :: rest)
     case h :: rest => h :: rewriteOnce(rest)
   }
 }
@@ -291,8 +299,9 @@ object PipelineRunner {
         case ExpireSnapshotsStep(retain, olderThan) =>
           val m = table.expireSnapshots(retain, olderThan)
           (None, Map("retained-snapshots" -> m.snapshots.size.toString))
-        case RemoveOrphansStep =>
-          (None, Map("removed" -> table.removeOrphans().size.toString))
+        case RemoveOrphansStep(graceMs) =>
+          val removed = graceMs.fold(table.removeOrphans())(table.removeOrphans)
+          (None, Map("removed" -> removed.size.toString))
         case DeleteWhereStep(pred) => (Maintenance.deleteWhere(spark, table, pred), Map.empty)
         case DeleteWhereMorStep(pred) =>
           (Maintenance.deleteWhereMor(spark, table, pred), Map.empty)

@@ -832,33 +832,64 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * is small relative to the table on any maintained deployment) — at
     * 10^6+ files a single-threaded manifest parse + recursive driver
     * listing is the GC wall, the same one Iceberg's remove-orphans solves
-    * with a distributed action. */
-  def removeOrphans(): Seq[String] = {
+    * with a distributed action.
+    *
+    * The no-arg form applies the table's grace window ([[gcGraceMs]]):
+    * "unreachable from a retained snapshot" is necessary but NOT sufficient
+    * for dead — an in-flight writer stages output under `data/<jobId>` and
+    * externalizes its `snap-*` manifest list BEFORE its version-file commit
+    * lands, and a crashed run's ledger records staged files its resume will
+    * reuse verbatim. Deleting any of those mid-flight makes the next commit
+    * reference missing files. Only files older than the grace window are
+    * candidates (Iceberg's remove-orphans `olderThan`, same reason, same
+    * default). Callers that OWN the table exclusively (single-threaded
+    * maintenance gates, tests) may pass `graceMs = 0`. */
+  def removeOrphans(): Seq[String] = removeOrphans(gcGraceMs)
+
+  def removeOrphans(graceMs: Long): Seq[String] = {
     refresh()
+    val cutoff = System.currentTimeMillis() - graceMs
     // Delete key files live under data/ and their manifests under metadata/:
     // both are reachable exactly like data files, or GC would corrupt every
     // snapshot that still needs a pending delete applied.
-    val deadData = orphanData(delete = true)
+    val deadData = orphanData(delete = true, cutoff)
     val reachableManifests: Set[String] =
       meta.snapshots.flatMap(s => s.manifests ++ s.deletes).map(_.path).toSet ++
         meta.snapshots.flatMap(_.manifestList)
     val deadManifests = fs.listStatus(metadataDir).toSeq
+      .filter(_.getModificationTime < cutoff)
       .map(_.getPath.getName)
       .filter(n => (n.startsWith("manifest-") || n.startsWith("snap-")) &&
         !reachableManifests.contains(n))
     deadManifests.foreach(n => fs.delete(new Path(metadataDir, n), false))
-    deadData ++ deadManifests ++ sweepStaleLedgers()
+    deadData ++ deadManifests ++ sweepStaleLedgers(cutoff)
   }
 
-  /** Files present in data/ but unreachable from any retained snapshot. */
-  def orphanFiles(): Seq[String] = orphanData(delete = false)
+  /** GC grace window in ms (`gc.grace-period-ms`, default 3 days — Iceberg's
+    * remove-orphans default): no file younger than this is ever GC'd, so
+    * in-flight staged writes, not-yet-referenced manifest lists, and
+    * crash-resume ledgers survive a concurrent GC as long as the writer
+    * commits (or the crash is resumed) within the window. */
+  def gcGraceMs: Long =
+    meta.properties.get("gc.grace-period-ms").map(_.toLong)
+      .getOrElse(3L * 24 * 3600 * 1000)
+
+  /** Files present in data/ but unreachable from any retained snapshot and
+    * older than the grace window. */
+  def orphanFiles(): Seq[String] = orphanFiles(gcGraceMs)
+
+  def orphanFiles(graceMs: Long): Seq[String] =
+    orphanData(delete = false, System.currentTimeMillis() - graceMs)
 
   /** Total manifest entries above which GC fans out to Spark jobs. */
   private def gcDistributedThreshold: Long =
     meta.properties.get("gc.distributed-threshold").map(_.toLong).getOrElse(10000L)
 
-  /** Orphaned data-file paths (optionally deleting them where computed). */
-  private def orphanData(delete: Boolean): Seq[String] = {
+  /** Orphaned data-file paths (optionally deleting them where computed).
+    * Only files whose modification time precedes `cutoff` are candidates —
+    * the grace-window filter runs on the LISTED side (candidate deletions),
+    * never on the reachable side. */
+  private def orphanData(delete: Boolean, cutoff: Long): Seq[String] = {
     // distinct by path: carried-forward manifests appear in many snapshots
     val manifestMetas: Seq[ManifestMeta] =
       meta.snapshots.flatMap(s => s.manifests ++ s.deletes)
@@ -866,12 +897,12 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val totalEntries = manifestMetas.map(_.addedFiles.toLong).sum
     val session = org.apache.spark.sql.SparkSession.getActiveSession
     if (session.nonEmpty && totalEntries >= gcDistributedThreshold)
-      distributedOrphanData(session.get, manifestMetas.map(_.path), delete)
+      distributedOrphanData(session.get, manifestMetas.map(_.path), delete, cutoff)
     else {
       val reachable: Set[String] =
         meta.snapshots.flatMap(manifestEntries).map(_.path).toSet ++
           meta.snapshots.flatMap(deleteEntries).map(_.path)
-      val dead = listDataFiles().filterNot(reachable.contains)
+      val dead = listDataFiles(cutoff).filterNot(reachable.contains)
       if (delete) dead.foreach(deleteDataFile)
       dead
     }
@@ -883,7 +914,8 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * count), dead = listed.subtract(reachable), deleted per-partition in
     * executors. Deletion is idempotent, so a retried task is harmless. */
   private def distributedOrphanData(
-      spark: SparkSession, manifestNames: Seq[String], delete: Boolean): Seq[String] = {
+      spark: SparkSession, manifestNames: Seq[String], delete: Boolean,
+      cutoff: Long): Seq[String] = {
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     var t0 = System.nanoTime()
     def tick(label: String): Unit = if (debug) {
@@ -902,7 +934,8 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       TableJson.readManifest(readString(tfs, new Path(dir, name))).map(_.path)
     }
     val top = fs.listStatus(dataDir).toSeq
-    val loose = top.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val loose = top.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        st.getModificationTime < cutoff)
       .map(st => relativize(root, st.getPath))
     val dirs = top.filter(_.isDirectory).map(_.getPath.toString)
     val dSlices = math.max(1, math.min(math.max(dirs.size, 1), sc.defaultParallelism * 2))
@@ -919,14 +952,16 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p.toUri.getPath))
         try walk.forEach { q =>
           if (q.getFileName.toString.endsWith(".parquet") &&
-              java.nio.file.Files.isRegularFile(q))
+              java.nio.file.Files.isRegularFile(q) &&
+              java.nio.file.Files.getLastModifiedTime(q).toMillis < cutoff)
             buf += relativize(new Path(rootStr), new Path(q.toUri))
         } finally walk.close()
       } else {
         val it = tfs.listFiles(p, true)
         while (it.hasNext) {
           val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+              st.getModificationTime < cutoff)
             buf += relativize(new Path(rootStr), st.getPath)
         }
       }
@@ -951,31 +986,40 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * snapshot id it planned against (`…-snap<N>-…`), and once ANY newer
     * commit lands, a resumed run replans and gets a fresh stepId — so a
     * ledger whose embedded id is older than the current snapshot can never
-    * be resumed and would otherwise accumulate forever on busy tables. */
-  private def sweepStaleLedgers(): Seq[String] = {
+    * be resumed and would otherwise accumulate forever on busy tables.
+    * The grace cutoff additionally protects a LIVE run in that state (its
+    * plan was invalidated by a newer commit but it is still writing units
+    * before discovering the conflict): directory mtimes move on child
+    * writes, so an active ledger is younger than any sane grace window. */
+  private def sweepStaleLedgers(cutoff: Long): Seq[String] = {
     val ledgerDir = new Path(metadataDir, "ledger")
     val cur = meta.currentSnapshotId.getOrElse(return Seq.empty)
     if (!fs.exists(ledgerDir)) return Seq.empty
     val snapRe = "-snap(\\d+)-".r
-    fs.listStatus(ledgerDir).toSeq.filter(_.isDirectory).flatMap { st =>
-      val name = st.getPath.getName
-      snapRe.findFirstMatchIn(name) match {
-        case Some(g) if g.group(1).toLong < cur =>
-          fs.delete(st.getPath, true)
-          Some(s"metadata/ledger/$name")
-        case _ => None
+    fs.listStatus(ledgerDir).toSeq
+      .filter(st => st.isDirectory && st.getModificationTime < cutoff)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        snapRe.findFirstMatchIn(name) match {
+          case Some(g) if g.group(1).toLong < cur =>
+            fs.delete(st.getPath, true)
+            Some(s"metadata/ledger/$name")
+          case _ => None
+        }
       }
-    }
   }
 
-  def listDataFiles(): Seq[String] = {
+  def listDataFiles(): Seq[String] = listDataFiles(Long.MaxValue)
+
+  private def listDataFiles(cutoff: Long): Seq[String] = {
     if (!fs.exists(dataDir)) return Seq.empty
     val it = fs.listFiles(dataDir, true)
     val buf = scala.collection.mutable.ArrayBuffer[String]()
     while (it.hasNext) {
       val st = it.next()
       val rel = relativize(root, st.getPath)
-      if (st.isFile && rel.endsWith(".parquet")) buf += rel
+      if (st.isFile && rel.endsWith(".parquet") && st.getModificationTime < cutoff)
+        buf += rel
     }
     buf.toSeq
   }

@@ -59,7 +59,7 @@ class ConcurrentMergeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySrc == Map("ra" -> na, "rb" -> nb), s"got $bySrc")
     // the loser's abandoned staging is GC-able, never referenced
-    t.removeOrphans()
+    t.removeOrphans(0)
     assert(t.scan(spark).count() == 2000)
   }
 }

@@ -43,7 +43,7 @@ class GcScaleSpec extends SparkSpec {
     val t = fabricate(root, nReachable = 30000, nOrphans = 3000, nManifests = 30)
     assert(t.metadata.currentSnapshot.get.manifests.size == 30)
     val t0 = System.nanoTime()
-    val dead = t.removeOrphans()
+    val dead = t.removeOrphans(0)
     val sec = (System.nanoTime() - t0) / 1e9
     val deadData = dead.filter(_.startsWith("data/"))
     assert(deadData.size == 3000, s"deleted ${deadData.size} orphans")
@@ -54,7 +54,7 @@ class GcScaleSpec extends SparkSpec {
       Files.list(Paths.get(root, "data/orphan")).count() == 0)
     assert(sec < 60.0, f"GC took $sec%.1fs")
     // second run is a no-op
-    assert(t.removeOrphans().forall(!_.startsWith("data/")))
+    assert(t.removeOrphans(0).forall(!_.startsWith("data/")))
   }
 
   test("driver path (below threshold) and distributed path agree") {
@@ -67,8 +67,8 @@ class GcScaleSpec extends SparkSpec {
       t
     }
     val b = fabricate(rootB, nReachable = 400, nOrphans = 40, nManifests = 4)
-    val da = a.removeOrphans().filter(_.startsWith("data/")).map(_.replace(rootA, ""))
-    val db = b.removeOrphans().filter(_.startsWith("data/")).map(_.replace(rootB, ""))
+    val da = a.removeOrphans(0).filter(_.startsWith("data/")).map(_.replace(rootA, ""))
+    val db = b.removeOrphans(0).filter(_.startsWith("data/")).map(_.replace(rootB, ""))
     assert(da.sorted == db.sorted)
     assert(da.size == 40)
   }
@@ -85,12 +85,36 @@ class GcScaleSpec extends SparkSpec {
     mkLedger(s"compact-snap${cur - 1}-dead")   // abandoned: planned pre-current
     mkLedger(s"merge-snap0-aa-bb")             // abandoned: ancient
     mkLedger(s"compact-snap$cur-live")         // resumable: planned at current
-    val dead = t.removeOrphans()
+    val dead = t.removeOrphans(0)
     assert(dead.contains(s"metadata/ledger/compact-snap${cur - 1}-dead"))
     assert(dead.contains("metadata/ledger/merge-snap0-aa-bb"))
     assert(!Files.exists(Paths.get(root, s"metadata/ledger/compact-snap${cur - 1}-dead")))
     assert(Files.exists(Paths.get(root, s"metadata/ledger/compact-snap$cur-live")),
       "GC must not sweep a ledger that a crashed run at the CURRENT snapshot can resume")
+  }
+
+  test("grace window: fresh files and ledgers survive default GC; aged ones are swept") {
+    val root = tmpDir("gc-grace") + "/tbl"
+    val t = fabricate(root, nReachable = 50, nOrphans = 5, nManifests = 1)
+    val cur = t.metadata.currentSnapshotId.get
+    val staleLedger = Paths.get(root, s"metadata/ledger/compact-snap${cur - 1}-x")
+    Files.createDirectories(staleLedger)
+    Files.writeString(staleLedger.resolve("unit.json"), "[]")
+    // everything is seconds old: an in-flight writer's staged files / a
+    // crashed run's resume state look exactly like this, so the default
+    // grace window must protect all of it
+    val fresh = t.removeOrphans()
+    assert(!fresh.exists(_.startsWith("data/")), s"default GC deleted fresh files: $fresh")
+    assert(Files.list(Paths.get(root, "data/orphan")).count() == 5)
+    assert(Files.exists(staleLedger))
+    // age everything past the window; the same pass now sweeps it
+    val old = java.nio.file.attribute.FileTime.fromMillis(1000L)
+    Files.list(Paths.get(root, "data/orphan")).forEach(Files.setLastModifiedTime(_, old))
+    Files.setLastModifiedTime(staleLedger, old)
+    val dead = t.removeOrphans()
+    assert(dead.count(_.startsWith("data/")) == 5, s"aged orphans not swept: $dead")
+    assert(dead.contains(s"metadata/ledger/compact-snap${cur - 1}-x"))
+    assert(Files.list(Paths.get(root, "data/live")).count() == 50)
   }
 
   test("GC never deletes pending MoR delete-key files (distributed path)") {
@@ -101,7 +125,7 @@ class GcScaleSpec extends SparkSpec {
     Maintenance.deleteWhereMor(spark, t, Maintenance.DocIdBetween(d0, d0))
     t.updateProperties(Map("gc.distributed-threshold" -> "1"))
     val before = t.scan(spark).count()
-    t.removeOrphans()
+    t.removeOrphans(0)
     assert(t.scan(spark).count() == before, "GC broke the pending-delete anti-join")
     assert(t.metadata.currentSnapshot.get.deletes.nonEmpty)
   }

@@ -96,7 +96,7 @@ class MetadataScaleSpec extends SparkSpec {
     t.commit("append", Seq.empty) // second snapshot
     val firstList = t.metadata.snapshots.head.manifestList
     t.expireSnapshots(retainLast = 1)
-    val dead = t.removeOrphans()
+    val dead = t.removeOrphans(0)
     firstList.foreach { rel =>
       assert(dead.contains(rel), s"expired snapshot's list file $rel not swept")
       assert(!Files.exists(Paths.get(root, s"metadata/$rel")))

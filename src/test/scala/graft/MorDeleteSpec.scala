@@ -81,7 +81,7 @@ class MorDeleteSpec extends SparkSpec {
     val t = fresh()
     Maintenance.deleteWhereMor(spark, t, Maintenance.NTokGreaterThan(512))
     val expected = checksum(t.scan(spark))
-    val removed = t.removeOrphans()
+    val removed = t.removeOrphans(0)
     assert(!removed.exists(_.contains("deletes/")),
       s"GC removed live delete key files: $removed")
     assert(checksum(t.scan(spark)) == expected)

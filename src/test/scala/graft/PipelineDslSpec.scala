@@ -22,6 +22,7 @@ class PipelineDslSpec extends SparkSpec {
       |- implementation: expire_snapshots
       |  arguments: { retain_last: 1 }
       |- implementation: remove_orphans
+      |  arguments: { grace_ms: 0 }
       |""".stripMargin
 
   test("yaml parses to the step ADT") {
@@ -30,7 +31,7 @@ class PipelineDslSpec extends SparkSpec {
     assert(steps(0) == CompactStep(33554432L, Some(33554432L), 8))
     assert(steps(1) == ClusterStep(ZOrder(Seq("doc_id", "source", "n_tok")), 2097152L))
     assert(steps(2) == ExpireSnapshotsStep(1, None))
-    assert(steps(3) == RemoveOrphansStep)
+    assert(steps(3) == RemoveOrphansStep(Some(0L)))
   }
 
   test("annotation targeting filters annotated steps, keeps unannotated") {
@@ -66,12 +67,13 @@ class PipelineDslSpec extends SparkSpec {
     val plan = PlanOptimizer.optimize(Seq(
       ExpireSnapshotsStep(3, None),
       ExpireSnapshotsStep(1, Some(99L)),
-      RemoveOrphansStep,
-      RemoveOrphansStep,
+      RemoveOrphansStep(Some(60000L)),
+      RemoveOrphansStep(Some(0L)),
       SchemaStep(AddColumn("q", "DOUBLE")),
       SchemaStep(RenameColumn("q", "quality")),
       SchemaStep(DropColumn("quality"))))
-    assert(plan == Seq(ExpireSnapshotsStep(1, Some(99L)), RemoveOrphansStep))
+    // two GC runs == one at the smaller grace window
+    assert(plan == Seq(ExpireSnapshotsStep(1, Some(99L)), RemoveOrphansStep(Some(0L))))
   }
 
   test("pipeline end-to-end: yaml -> optimize -> run preserves content") {

@@ -32,7 +32,7 @@ class RefsSpec extends SparkSpec {
     t.expireSnapshots(retainLast = 1)
     // the tag target survives retainLast=1 and still scans
     assert(checksum(t.scanRef(spark, "prod")) == pinned)
-    val removed = t.removeOrphans()
+    val removed = t.removeOrphans(0)
     assert(checksum(t.scanRef(spark, "prod")) == pinned,
       s"GC broke the pinned tag (removed: $removed)")
   }

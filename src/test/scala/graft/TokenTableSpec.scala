@@ -178,9 +178,9 @@ class TokenTableSpec extends SparkSpec {
     Clock.thaw()
     val before = fingerprint(t.scan(spark))
     val filesBeforeGc = t.listDataFiles().size
-    assert(t.orphanFiles().isEmpty) // old snapshot still retains them
+    assert(t.orphanFiles(0).isEmpty) // old snapshot still retains them
     t.expireSnapshots(retainLast = 1)
-    val deleted = t.removeOrphans()
+    val deleted = t.removeOrphans(0)
     assert(deleted.nonEmpty)
     assert(t.listDataFiles().size < filesBeforeGc)
     assert(fingerprint(t.scan(spark)) == before) // live data untouched
