@@ -79,6 +79,8 @@ object SparkEntry {
     "maint_delete_mor" -> ((s, d) => MaintPipelines.deleteMorRoundtrip(s, d)),
     "maint_wap" -> ((s, d) => MaintPipelines.wapRoundtrip(s, d)),
     "maint_incremental" -> ((s, d) => MaintPipelines.incrementalRoundtrip(s, d)),
+    "maint_changelog" -> ((s, d) => MaintPipelines.changelogRoundtrip(s, d)),
+    "maint_changelog_append" -> ((s, d) => MaintPipelines.changelogAppendRoundtrip(s, d)),
     "maint_stream_append" -> ((s, d) => MaintPipelines.streamAppendRoundtrip(s, d)),
     "maint_stream_merge" -> ((s, d) => MaintPipelines.streamMergeRoundtrip(s, d)),
     "maint_stream_merge_mor" -> ((s, d) => MaintPipelines.streamMergeMorRoundtrip(s, d)),
@@ -218,6 +220,8 @@ object SparkEntry {
     "maint_delete_mor" -> MaintPipelines.deleteMorOracle,
     "maint_wap" -> MaintPipelines.wapOracle,
     "maint_incremental" -> MaintPipelines.incrementalOracle,
+    "maint_changelog" -> MaintPipelines.changelogOracle,
+    "maint_changelog_append" -> MaintPipelines.changelogAppendOracle,
     "maint_stream_append" -> MaintPipelines.streamAppendOracle,
     // micro-batched MERGE converges to the one-shot MERGE state (ops are
     // doc-disjoint), so the oracle is the merge oracle verbatim

@@ -517,6 +517,56 @@ object MaintPipelines {
     verifiableScan(spark, t)
   }
 
+  /** Changelog (CDC) between snapshots, general content-diff path: the
+    * range holds a pure rewrite (compact — must contribute NOTHING to the
+    * changelog) and a CoW MERGE (upserts surface as delete+insert pairs,
+    * inserts as inserts, deletes as deletes). */
+  def changelogRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    val from = t.metadata.currentSnapshotId.get
+    Maintenance.compact(spark, t, targetFileBytes = 16L * 1024 * 1024,
+      smallFileThreshold = Some(16L * 1024 * 1024))
+    Maintenance.mergeInto(spark, t, updateBatch(spark, sfDir))
+    verifiableChanges(
+      graft.table.Changelog.changesBetween(spark, t, Some(from)))
+  }
+
+  /** Changelog fast path: an append-only range is answered from the
+    * manifest set-difference alone — only the added files are read, and the
+    * plan contains no join (asserted structurally: at 100 TB this is the
+    * difference between O(new data) and O(table)). */
+  def changelogAppendRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshTable(spark, sfDir)
+    val from = t.metadata.currentSnapshotId.get
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val appended = docs.filter(pmod(col("doc_id"), lit(11)) === 4)
+      .select(
+        format_string("doc%012d", col("doc_id") + 20000000).as("doc_id"),
+        (col("doc_id") + 20000000).as("_id"),
+        (lit(8) + pmod(col("n_chars"), lit(61))).cast("int").as("n_tok"),
+        col("source"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), col("n_tok") - 1),
+          j => pmod(col("_id") * 17 + j, lit(40009)).cast("int")).as("tokens"),
+        col("n_tok"), col("source"))
+      .repartition(4)
+    t.commit("append", t.stageWrite(appended, "cdc-append"))
+    val ch = graft.table.Changelog.changesBetween(spark, t, Some(from))
+    require(ch.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "append-only changelog must not plan a join")
+    verifiableChanges(ch)
+  }
+
+  /** Oracle-checkable projection of a changelog frame. */
+  private def verifiableChanges(ch: DataFrame): DataFrame =
+    ch.select(
+      expr("CAST(substring(doc_id, 4) AS BIGINT)").as("doc_id"),
+      col("n_tok"),
+      aggregate(col("tokens"), lit(0L), (acc, x) => acc + x).as("tok_sum"),
+      col("source"),
+      col(graft.table.Changelog.ChangeTypeCol).as("change"))
+
   /** Structured-Streaming ingest into the table: file-source micro-batches,
     * each an atomic append snapshot (micro-batch boundary == the reference's
     * Flush, SURVEY.md §2.6). */
@@ -686,6 +736,29 @@ object MaintPipelines {
        |FROM documents WHERE doc_id % 11 = 4""".stripMargin
 
   val incrementalOracle: String = s"$baseOracle\nUNION ALL\n$appendedSql"
+
+  /** Net changes of compact + MERGE over the seed: upserts = delete(old) +
+    * insert(new), deletes = delete(old), inserts = insert; the compact
+    * rewrite contributes nothing. Exactness of the delete+insert pairs
+    * needs old != new content, verified to hold for every %7==1 doc in the
+    * fixed test data (no doc has both equal lengths and equal first token:
+    * 16+n_chars%497+spike == 8+n_chars%61 AND id*31%50021 == id*17%40009
+    * has zero solutions at sf0.01 and sf0.1). */
+  val changelogOracle: String =
+    s"""WITH upd_old AS (SELECT doc_id, $nTokSql AS n_tok, source FROM documents WHERE doc_id % 7 = 1),
+       |del_old AS (SELECT doc_id, $nTokSql AS n_tok, source FROM documents WHERE doc_id % 7 = 3),
+       |upd_new AS (SELECT doc_id, $nTok2Sql AS n_tok, source FROM documents WHERE doc_id % 7 = 1),
+       |ins_new AS (SELECT doc_id + 10000000 AS doc_id, $nTok2Sql AS n_tok, source FROM documents WHERE doc_id % 7 = 2)
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source, 'delete' AS change FROM upd_old
+       |UNION ALL
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 31, 50021)} AS BIGINT) AS tok_sum, source, 'delete' AS change FROM del_old
+       |UNION ALL
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source, 'insert' AS change FROM upd_new
+       |UNION ALL
+       |SELECT doc_id, n_tok, CAST(${tokSumSql("doc_id", "n_tok", 17, 40009)} AS BIGINT) AS tok_sum, source, 'insert' AS change FROM ins_new""".stripMargin
+
+  val changelogAppendOracle: String =
+    s"SELECT doc_id, n_tok, tok_sum, source, 'insert' AS change FROM ($appendedSql)"
 
   /** Appended-batch fragment for the migration gate: docs with
     * doc_id % 13 = 6 shifted by 30M, token stream (17, 40009). */

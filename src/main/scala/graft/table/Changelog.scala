@@ -1,0 +1,115 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental changelog scan — the NET row-level changes between two
+ * snapshots of a [[TokenTable]], the feed a downstream training-data
+ * consumer (incremental dedup, index refresh, feature backfill) reads
+ * instead of re-scanning 100 TB per cycle. The reference's streaming
+ * extractors re-poll a source for "what's new"
+ * (nodestream/pipeline/extractors/streams/extractor.py:47-99); on a table
+ * the same question has an exact answer in the snapshot log, so this is a
+ * read-side operator, not a connector.
+ *
+ * Semantics (Iceberg changelog-scan shape): the result is the minimal
+ * delete/insert multiset that rewrites the `from` snapshot's visible rows
+ * into `to`'s — updates surface as a delete of the old version plus an
+ * insert of the new (standard CDC encoding), and pure rewrites
+ * (compact / cluster / manifest ops) contribute NOTHING, because they do
+ * not change visible rows. Net means per-range, not per-commit: a row
+ * inserted and deleted strictly inside the range never appears.
+ *
+ * Two plans, chosen from metadata alone:
+ *  - **Append fast path**: when every data file of `from` survives to `to`
+ *    and no new equality-delete keys landed, changes are exactly the rows
+ *    of the files added in the range — a manifest set-difference picks the
+ *    files and NOTHING ELSE is read. This is the steady-state streaming
+ *    ingest case: cost O(new data), zero joins, zero shuffles.
+ *  - **Content diff**: otherwise (CoW merge, deletes, MoR keys), diff the
+ *    two snapshot scans on a 64-bit content hash — two hash anti-joins on
+ *    (doc_id, hash), each a slim 16-byte-per-row build side that AQE
+ *    broadcasts when it fits. O(|from| + |to|) scan, but exact for every
+ *    operation mix, and the expensive case is precisely the one where the
+ *    log genuinely rewrote old files.
+ *
+ * Content-diff rows are matched as a SET per (doc_id, content): like
+ * [[graft.maintenance.Maintenance.deleteWhereMor]], the diff path assumes
+ * the MERGE invariant (one row per doc_id); with duplicate identical rows
+ * it reports net set changes, not multiset multiplicities. The append fast
+ * path is exact either way.
+ */
+object Changelog {
+
+  /** Change-kind column appended to the table schema: `insert` | `delete`. */
+  val ChangeTypeCol = "_change_type"
+
+  /**
+   * Net changes in `(fromSnapshot, toSnapshot]`. `fromSnapshot = None`
+   * means "from the empty table" (every visible row is an insert);
+   * `toSnapshot = None` means the current snapshot. An expired or unknown
+   * `from` fails loudly — silently widening a CDC range re-delivers the
+   * whole table downstream, which is exactly the surprise a consumer
+   * cannot absorb.
+   */
+  def changesBetween(
+      spark: SparkSession,
+      table: TokenTable,
+      fromSnapshot: Option[Long],
+      toSnapshot: Option[Long] = None): DataFrame = {
+    val m = table.metadata
+    val to = toSnapshot.orElse(m.currentSnapshotId)
+      .getOrElse(sys.error("changesBetween: table has no snapshot"))
+    val toSnap = m.snapshot(to).getOrElse(sys.error(s"unknown snapshot $to"))
+    val fromSnap = fromSnapshot.map(id =>
+      m.snapshot(id).getOrElse(sys.error(
+        s"changesBetween: from snapshot $id is unknown or expired — " +
+          "refusing to widen a CDC range to a full-table replay")))
+    fromSnap.foreach(f => require(f.snapshotId <= to,
+      s"changesBetween: from ${f.snapshotId} is newer than to $to"))
+    if (fromSnap.exists(_.snapshotId == to))
+      return withChangeType(emptyLike(spark, table), lit("insert")).limit(0)
+
+    val fromFiles = fromSnap.map(table.manifestEntries).getOrElse(Seq.empty)
+    val toFiles = table.manifestEntries(toSnap)
+    val fromPaths = fromFiles.map(_.path).toSet
+    val toPaths = toFiles.map(_.path).toSet
+    val fromDeletes = fromSnap.map(table.deleteEntries).getOrElse(Seq.empty)
+    val toDeletes = table.deleteEntries(toSnap)
+
+    val appendOnly = fromPaths.subsetOf(toPaths) &&
+      toDeletes.map(_.path).toSet.subsetOf(fromDeletes.map(_.path).toSet)
+    if (appendOnly) {
+      // Files added in the range hold only rows invisible at `from` (they
+      // did not exist) and visible at `to` (equality deletes apply only to
+      // LOWER sequences, and no new delete keys landed) — so they ARE the
+      // changelog, read with `to`'s delete set for exactness.
+      val added = toFiles.filterNot(f => fromPaths.contains(f.path))
+      withChangeType(table.readFiles(spark, added, toDeletes), lit("insert"))
+    } else {
+      val oldDf = fromSnap.map(s => table.scan(spark, Some(s.snapshotId)))
+        .getOrElse(emptyLike(spark, table))
+      val newDf = table.scan(spark, Some(to))
+      require(oldDf.columns.sameElements(newDf.columns),
+        "changesBetween across a schema evolution is not supported: " +
+          s"${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+      val hash = xxhash64(newDf.columns.map(col).toIndexedSeq: _*)
+      val o = oldDf.withColumn("_h", hash)
+      val n = newDf.withColumn("_h", hash)
+      val deletes = o.join(n.select(col("doc_id"), col("_h")),
+        Seq("doc_id", "_h"), "left_anti")
+      val inserts = n.join(o.select(col("doc_id"), col("_h")),
+        Seq("doc_id", "_h"), "left_anti")
+      withChangeType(deletes, lit("delete"))
+        .unionByName(withChangeType(inserts, lit("insert")))
+        .drop("_h")
+    }
+  }
+
+  private def withChangeType(df: DataFrame, v: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn(ChangeTypeCol, v)
+
+  private def emptyLike(spark: SparkSession, table: TokenTable): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), table.schema)
+}
