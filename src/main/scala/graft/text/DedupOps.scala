@@ -252,14 +252,14 @@ object DedupOps {
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.key").as("key"))
     // One hash aggregation groups each (band, key) bucket with a HARD
-    // element cap ([[graft.functions.CappedLongCollect]]): ≤ maxBucket
+    // element cap ([[graft.functions.CappedCollect]]): ≤ maxBucket
     // elements = the complete bucket; exactly maxBucket + 1 = the overflow
     // marker for a bucket too big to pair in-row. No count-over-window
     // bucket-size pass, so nothing sorts the banded relation, and no
     // bucket ever materializes more than maxBucket + 1 ids in one row
     // however duplicate-heavy the corpus.
     val cappedIds = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.CappedLongCollect(
+      graft.functions.CappedCollect(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("id")),
         maxBucket).toAggregateExpression())
     val bucketed = banded.groupBy(col("band"), col("key"))

@@ -157,6 +157,22 @@ class DedupSpec extends SparkSpec {
     assert(viaCol == viaDf)
   }
 
+  test("minhashLshPairs: string doc ids work on both bucket paths") {
+    // the capped bucket collect is type-generic like collect_list — a
+    // string id must neither fail analysis nor crash mid-job, and both the
+    // in-row expansion and the streamed-join path must agree
+    val named = corpus.select(
+      concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    def run(maxBucket: Int) =
+      DedupOps.minhashLshPairs(named, bands = 4, rowsPerBand = 3, shingleN = 3,
+        verifyThreshold = 0.5, maxBucket = maxBucket)
+        .as[(String, String, Double)].collect().toSet
+    val viaExpansion = run(1000000)
+    assert(viaExpansion.exists { case (a, b, j) =>
+      a == "doc-1" && b == "doc-4" && j == 1.0 }, viaExpansion.toString)
+    assert(run(1) == viaExpansion)
+  }
+
   test("minhashLshPairs: duplicate-heavy corpus completes with bounded buckets") {
     // 2000 identical docs share every band: the old in-row expansion built
     // one 2000²/2-struct row per band; the split routes them through the
