@@ -92,7 +92,10 @@ object Maintenance {
     val plannedDeleteEntries = table.deleteEntriesOf(m)
     val threshold = smallFileThreshold.getOrElse(Long.MaxValue)
     val victims = live.filter(_.bytes < threshold)
-    if (victims.size < 2) return None
+    // A compact of < 2 files has nothing to merge; a re-CLUSTER of even one
+    // file is real work — the rewrite reorders its rows on the curve.
+    if (if (operation == "compact") victims.size < 2 else victims.isEmpty)
+      return None
 
     val stepId = deterministicStepId(operation, m.currentSnapshotId, layout, targetFileBytes, victims)
     val ledger = new Ledger(table, stepId)
@@ -174,11 +177,16 @@ object Maintenance {
       table: TokenTable,
       layout: Layout,
       targetFileBytes: Long = DefaultTargetFileBytes,
-      chunks: Int = 1): Option[Snapshot] =
+      chunks: Int = 1): Option[Snapshot] = {
     // One chunk: a curve re-cluster is a single global repartitionByRange so
     // key ranges do not straddle chunk boundaries.
-    compact(spark, table, layout, targetFileBytes, smallFileThreshold = None,
+    val snap = compact(spark, table, layout, targetFileBytes, smallFileThreshold = None,
       chunks = chunks, operation = "cluster")
+    // record the declared clustering so describe printers and planners can
+    // see the table's layout; a pure binpack declares nothing
+    if (snap.nonEmpty && layout != Concat) table.setSortOrder(Seq(layout.describe))
+    snap
+  }
 
   private def applyLayout(
       input: DataFrame, layout: Layout, nOut: Int, totalRows: Long): DataFrame = layout match {
@@ -232,6 +240,7 @@ object Maintenance {
       extraSummary: Map[String, String] = Map.empty,
       preHooks: Seq[String] = Nil,
       postHooks: Seq[String] = Nil): Snapshot = {
+    validateMergeBatch(batch)
     // Ingest hooks — arbitrary SQL run before/after the commit against views
     // of the batch and table state (reference nodestream/model/ingestion_hooks
     // .py:6-25; before at desired_ingestion.py:37-39, after-flush ordering at
@@ -373,6 +382,26 @@ object Maintenance {
     snap
   }
 
+  /** Reject a merge batch whose columns the MERGE paths would silently drop
+    * or choke on. Both paths upsert the canonical sequence shape — evolved
+    * extra columns ride along from the TARGET side on CoW (and come back
+    * NULL on MoR, spec-pinned) — so a batch column outside that shape is
+    * either a typo or data the caller wrongly believes will land; fail loud
+    * instead of losing it. */
+  private def validateMergeBatch(batch: DataFrame): Unit = {
+    val canonical = Seq("doc_id", "tokens", "n_tok", "source")
+    val allowed = canonical.toSet ++ Set("_seq", "_op")
+    val unknown = batch.columns.filterNot(allowed.contains)
+    require(unknown.isEmpty,
+      s"merge batch has columns MERGE does not carry: ${unknown.mkString(", ")} — " +
+        s"batches hold the canonical shape (${canonical.mkString(", ")}) plus " +
+        "optional _seq/_op; write evolved columns via append, or null them on " +
+        "the batch side")
+    val missing = canonical.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"merge batch is missing required columns: ${missing.mkString(", ")}")
+  }
+
   /** Deterministic last-write-wins debounce per doc_id via max_by on
     * (_seq, content) — shared by the CoW and MoR merge paths. Missing `_seq`
     * defaults to 0, missing `_op` to 'upsert'. */
@@ -426,6 +455,7 @@ object Maintenance {
       table: TokenTable,
       batch: DataFrame,
       extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    validateMergeBatch(batch)
     val debounced = debounceBatch(batch).cache()
     try {
       val jobId = s"merge-mor-${java.util.UUID.randomUUID()}"

@@ -36,12 +36,19 @@ object Incremental {
 
   /** Data files present in the current snapshot but not in `sinceSnapshot`
     * (None = everything). This is a pure manifest diff — no data IO. */
-  def newFilesSince(table: TokenTable, sinceSnapshot: Option[Long]): Seq[DataFileMeta] = {
-    val current = table.liveFiles()
+  def newFilesSince(table: TokenTable, sinceSnapshot: Option[Long]): Seq[DataFileMeta] =
+    newFilesSince(table, table.metadata, sinceSnapshot)
+
+  /** Snapshot-consistent form: both sides of the diff come from the caller's
+    * immutable metadata view `m`, never the volatile current. */
+  def newFilesSince(
+      table: TokenTable, m: graft.table.TableMetadata,
+      sinceSnapshot: Option[Long]): Seq[DataFileMeta] = {
+    val current = table.liveFiles(m)
     sinceSnapshot match {
       case None => current
       case Some(id) =>
-        table.metadata.snapshot(id) match {
+        m.snapshot(id) match {
           case None => current // expired base snapshot: full reprocess
           case Some(old) =>
             val oldPaths = table.manifestEntries(old).map(_.path).toSet
@@ -64,26 +71,34 @@ object Incremental {
       targetFileBytes: Long = Maintenance.DefaultTargetFileBytes,
       smallFileThreshold: Long = 32L * 1024 * 1024): Int = {
     val cursor = new SnapshotCursor(table, consumer)
-    val fresh = newFilesSince(table, cursor.get())
+    // ONE immutable metadata view for the whole planning pass (victims,
+    // delete entries applied at read, delete paths validated at commit) —
+    // the same invariant every other maintenance planner holds; commit's
+    // readDeletePaths validation then catches any delete landing after it.
+    val m = table.refresh()
+    val fresh = newFilesSince(table, m, cursor.get())
       .filter(_.bytes < smallFileThreshold)
-    val plannedDeletes = table.currentDeletePaths() // same metadata view
-    val rewritten =
-      if (fresh.size < 2) 0
+    val plannedDeletes = table.deletePathsOf(m)
+    val committedId =
+      if (fresh.size < 2) m.currentSnapshotId
       else {
         // stage + commit only the freshly appended files
-        val input = table.readFiles(spark, fresh)
+        val input = table.readFiles(spark, fresh, table.deleteEntriesOf(m))
         val nOut = math.max(1, math.ceil(
           fresh.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
         val staged = table.stageWrite(
           Maintenance.repartitionByTokenMass(input, nOut),
           s"inc-compact-${java.util.UUID.randomUUID()}")
-        table.commit("compact", staged, fresh.map(_.path).toSet,
+        val snap = table.commit("compact", staged, fresh.map(_.path).toSet,
           summary = Map("mode" -> "incremental", "consumer" -> consumer),
           readDeletePaths = Some(plannedDeletes))
-        fresh.size
+        Some(snap.snapshotId)
       }
-    table.metadata.currentSnapshotId.foreach(cursor.set)
-    rewritten
+    // advance to the snapshot this tick actually processed through — the
+    // volatile current may already include a concurrent append whose files
+    // this tick never saw and must not skip
+    committedId.foreach(cursor.set)
+    if (fresh.size < 2) 0 else fresh.size
   }
 
   /** The shared exactly-once micro-batch sink: `op(table, batch, batchId)`

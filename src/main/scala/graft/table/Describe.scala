@@ -121,7 +121,19 @@ object Describe {
     val m = t.metadata
     val props = t.schema.fields
       .map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")
-    val indexCols = m.spec.map(_.column) ++ m.sortOrder.filterNot(m.spec.map(_.column).contains)
+    // sortOrder entries are expression strings ("zorder(doc_id,source,n_tok)"
+    // or bare column names — TableMeta.sortOrder): reduce each to its column
+    // list and keep only real schema fields, so the rendered statements are
+    // property references, never spliced expression syntax.
+    val fieldNames = t.schema.fieldNames.toSet
+    val fnRe = "^[A-Za-z_]+\\((.*)\\)$".r
+    val sortCols = m.sortOrder.flatMap {
+      _.trim match {
+        case fnRe(args) => args.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        case bare       => Seq(bare)
+      }
+    }.filter(fieldNames.contains)
+    val indexCols = (m.spec.map(_.column) ++ sortCols).distinct
     val indexes = indexCols.zipWithIndex.map { case (c, i) =>
       s"CREATE INDEX ${name}_idx_$i IF NOT EXISTS FOR (n:${camelize(name)}) ON (n.$c)"
     }

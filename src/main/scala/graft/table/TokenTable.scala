@@ -41,12 +41,16 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
 
   /** Manifest lists by list-file path. List files are immutable (written once
     * at the commit that created their snapshot), so entries never invalidate;
-    * size is bounded by retained history. With a warm cache a refresh reads
+    * [[hydrate]] evicts entries for expired snapshots, bounding size to
+    * retained history. With a warm cache a refresh reads
     * v{N}.json plus only the list files of snapshots it has not seen —
     * steady-state O(1) reads per refresh on a streaming table. Declared
     * before `meta`: the constructor's initial load already hydrates. */
   private val manifestListCache =
     scala.collection.concurrent.TrieMap.empty[String, ManifestListFile]
+
+  /** Test hook: cached manifest-list count (must track retained history). */
+  private[graft] def manifestListCacheSize: Int = manifestListCache.size
 
   @volatile private var meta: TableMetadata = loadCurrentMetadata()
 
@@ -61,15 +65,24 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   private def loadCurrentMetadata(): TableMetadata = {
     val v = currentVersion()
     require(v >= 0, s"no table at $root")
-    hydrate(TableJson.readMetadata(readString(fs, new Path(metadataDir, s"v$v.json"))))
+    val raw = TableJson.readMetadata(readString(fs, new Path(metadataDir, s"v$v.json")))
+    // Fail LOUDLY on metadata written by a newer format. Version 2 moved
+    // per-snapshot manifest lists into snap-* files (`manifests` empty on
+    // disk, a `manifestList` ref instead) — a version-1 reader parsing it
+    // leniently would see every snapshot as EMPTY and silently read (or
+    // GC!) the table as if it held no files.
+    require(raw.formatVersion <= TokenTable.CurrentFormatVersion,
+      s"table at $root has format version ${raw.formatVersion}, this build " +
+        s"reads at most ${TokenTable.CurrentFormatVersion} — upgrade the reader")
+    hydrate(raw)
   }
 
   /** Populate every snapshot's manifests from its manifest-list file. A
     * cold instance pays one small read per retained snapshot (bounded by
     * [[expireSnapshots]]); inline-format snapshots (pre-manifest-list
     * metadata) pass through unchanged. */
-  private def hydrate(m: TableMetadata): TableMetadata =
-    m.copy(snapshots = m.snapshots.map { s =>
+  private def hydrate(m: TableMetadata): TableMetadata = {
+    val out = m.copy(snapshots = m.snapshots.map { s =>
       s.manifestList match {
         case Some(rel) if s.manifests.isEmpty && s.deletes.isEmpty =>
           val list = manifestListCache.getOrElseUpdate(
@@ -78,6 +91,17 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         case _ => s
       }
     })
+    // Evict lists of snapshots no longer retained — this is what actually
+    // bounds the cache to retained history: a long-lived streaming writer
+    // (one commit per trigger + periodic expireSnapshots) would otherwise
+    // leak one cached list per snapshot EVER committed. Evicting an entry a
+    // racing commit just wrote is benign: the file is immutable on disk and
+    // the committer's in-memory metadata is already hydrated.
+    val referenced = m.snapshots.flatMap(_.manifestList).toSet
+    manifestListCache.keysIterator.foreach(k =>
+      if (!referenced.contains(k)) manifestListCache.remove(k))
+    out
+  }
 
   /** Spill each snapshot's manifest list to its own immutable file so the
     * version file carries only headers. Returns (in-memory form: hydrated +
@@ -97,7 +121,13 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
           s.copy(manifestList = Some(rel))
       }
     }
-    val inMem = m.copy(snapshots = stamped)
+    // Spilled manifest lists are a format change (a lenient version-1
+    // reader would see empty snapshots): stamp the on-disk file version 2
+    // so a pre-feature reader's load fails loudly instead.
+    val fv =
+      if (stamped.exists(_.manifestList.isDefined)) TokenTable.CurrentFormatVersion
+      else m.formatVersion
+    val inMem = m.copy(formatVersion = fv, snapshots = stamped)
     val onDisk = inMem.copy(snapshots = stamped.map(
       _.copy(manifests = Seq.empty, deleteManifests = None)))
     (inMem, onDisk)
@@ -394,10 +424,61 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
 
   // ---------------------------------------------------------------- writing
 
+  /** Conform a batch to the table's current schema BEFORE any bytes land:
+    * reject unknown columns loudly, fill missing NULLABLE (evolved) columns
+    * with NULL — the full-row-upsert contract MoR merges pin in
+    * `MorMergeSpec` — reject missing non-nullable ones, and insert ANSI
+    * casts where the type differs but store-assignment is legal (long → int
+    * throws on overflow at runtime instead of writing it). Without this, a
+    * type-sloppy batch (e.g. `array(lit(42L))` into an `array<int>` column)
+    * writes parquet whose physical types disagree with the pinned table
+    * schema and every later scan of the table fails — corruption by append.
+    * Purely an analysis-time projection: internal rewrite paths
+    * (compact/cluster/merge outputs re-read from the table) resolve to
+    * all-identity and cost nothing at runtime. */
+  private def conformToSchema(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    // nullability is declarative here (writes never enforced it; parquet
+    // physical types are what pinned-schema readers check) — compare and
+    // cast on nullability-relaxed types throughout
+    def relax(dt: DataType): DataType = dt match {
+      case ArrayType(e, _) => ArrayType(relax(e), containsNull = true)
+      case MapType(k, v, _) => MapType(relax(k), relax(v), valueContainsNull = true)
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = relax(f.dataType), nullable = true)))
+      case other => other
+    }
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    val unknown = df.columns.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"batch has columns not in the table schema: ${unknown.mkString(", ")} " +
+        s"(table columns: ${schema.fieldNames.mkString(", ")})")
+    val cols = schema.fields.map { f =>
+      byName.get(f.name) match {
+        case None if f.nullable =>
+          lit(null).cast(relax(f.dataType)).as(f.name)
+        case None => throw new IllegalArgumentException(
+          s"batch is missing non-nullable table column '${f.name}: ${f.dataType.simpleString}'")
+        case Some(in) if relax(in.dataType) == relax(f.dataType) => col(f.name)
+        case Some(in) =>
+          require(Cast.canANSIStoreAssign(relax(in.dataType), relax(f.dataType)),
+            s"batch column '${f.name}' has type ${in.dataType.simpleString}, " +
+              s"not storable into table type ${f.dataType.simpleString}")
+          col(f.name).cast(relax(f.dataType)).as(f.name)
+      }
+    }
+    // fast path: same names, order, and physical types → no projection
+    val same = df.schema.fields.length == schema.fields.length &&
+      df.schema.fields.zip(schema.fields).forall { case (a, b) =>
+        a.name == b.name && relax(a.dataType) == relax(b.dataType) }
+    if (same) df else df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Stage a DataFrame into data/ under a unique job prefix; returns file metas
     * with freshly computed per-file min/max stats. No snapshot is committed —
     * callers record staged units in the ledger and commit atomically at the end. */
-  def stageWrite(df: DataFrame, jobId: String): Seq[DataFileMeta] = {
+  def stageWrite(dfIn: DataFrame, jobId: String): Seq[DataFileMeta] = {
+    val df = conformToSchema(dfIn, schema)
     val spark = df.sparkSession
     val stagingDir = new Path(dataDir, jobId)
     val t0 = System.nanoTime()
@@ -776,6 +857,12 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   def updateProperties(props: Map[String, String]): TableMetadata =
     updateMeta(base => base.copy(properties = base.properties ++ props))
 
+  /** Record the table's declared clustering as expression strings (e.g.
+    * "zorder(doc_id,n_tok)") — set by Maintenance.cluster after a
+    * re-cluster commit; surfaced by the describe printers. */
+  def setSortOrder(entries: Seq[String]): TableMetadata =
+    updateMeta(_.copy(sortOrder = entries))
+
   private def updateMeta(f: TableMetadata => TableMetadata): TableMetadata = {
     var attempt = 0
     while (attempt < 5) {
@@ -888,24 +975,73 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   /** Orphaned data-file paths (optionally deleting them where computed).
     * Only files whose modification time precedes `cutoff` are candidates —
     * the grace-window filter runs on the LISTED side (candidate deletions),
-    * never on the reachable side. */
+    * never on the reachable side. Files recorded by a still-resumable
+    * ledger ([[ledgerProtectedFiles]]) count as reachable: a resumed run
+    * reuses those staged outputs verbatim, so deleting them while
+    * [[sweepStaleLedgers]] deliberately keeps the ledger would make the
+    * resume commit dangling paths. */
   private def orphanData(delete: Boolean, cutoff: Long): Seq[String] = {
     // distinct by path: carried-forward manifests appear in many snapshots
     val manifestMetas: Seq[ManifestMeta] =
       meta.snapshots.flatMap(s => s.manifests ++ s.deletes)
         .groupBy(_.path).map(_._2.head).toSeq
     val totalEntries = manifestMetas.map(_.addedFiles.toLong).sum
+    val protectedByLedger = ledgerProtectedFiles()
     val session = org.apache.spark.sql.SparkSession.getActiveSession
     if (session.nonEmpty && totalEntries >= gcDistributedThreshold)
-      distributedOrphanData(session.get, manifestMetas.map(_.path), delete, cutoff)
+      distributedOrphanData(session.get, manifestMetas.map(_.path), delete, cutoff,
+        protectedByLedger)
     else {
       val reachable: Set[String] =
         meta.snapshots.flatMap(manifestEntries).map(_.path).toSet ++
-          meta.snapshots.flatMap(deleteEntries).map(_.path)
+          meta.snapshots.flatMap(deleteEntries).map(_.path) ++ protectedByLedger
       val dead = listDataFiles(cutoff).filterNot(reachable.contains)
       if (delete) dead.foreach(deleteDataFile)
       dead
     }
+  }
+
+  /** Data files recorded in ledgers a crashed run can still RESUME (the
+    * stepId's embedded snapshot id is not older than the current snapshot).
+    * The resume path reuses recorded staged outputs verbatim without an
+    * existence check, so GC must treat them as reachable even though no
+    * snapshot references them yet — otherwise a post-grace sweep deletes
+    * the files while [[sweepStaleLedgers]] keeps the ledger, and the
+    * resumed commit references missing parquet. Ledgers with an OLDER
+    * embedded id cannot be resumed (a replan gets a fresh stepId) and are
+    * swept — files and record — in the same GC pass. Blob signatures are
+    * stripped, NOT verified: GC only needs path names, and over-protecting
+    * on an unverifiable blob is the conservative failure (the resume path
+    * still verifies). Ledger count is bounded by crashed runs, so this is
+    * metadata-scale driver work. */
+  private def ledgerProtectedFiles(): Set[String] = {
+    val ledgerDir = new Path(metadataDir, "ledger")
+    val cur = meta.currentSnapshotId.getOrElse(return Set.empty)
+    if (!fs.exists(ledgerDir)) return Set.empty
+    val snapRe = "-snap(\\d+)-".r
+    fs.listStatus(ledgerDir).toSeq
+      .filter(st => st.isDirectory &&
+        snapRe.findFirstMatchIn(st.getPath.getName).exists(_.group(1).toLong >= cur))
+      .flatMap { st =>
+        fs.listStatus(st.getPath).toSeq
+          .filter(u => u.isFile && u.getPath.getName.endsWith(".json"))
+          .flatMap { u =>
+            val body = stripCheckpointSignature(readString(fs, u.getPath))
+            scala.util.Try(TableJson.readManifest(body).map(_.path))
+              .getOrElse(Seq.empty)
+          }
+      }.toSet
+  }
+
+  /** Strip a checkpoint-blob HMAC envelope ("hmac1:" + 64 hex + '\n', or
+    * the legacy prefixless 64-hex + '\n' form) without verifying it; a blob
+    * in neither form is returned unchanged (unsigned store). */
+  private def stripCheckpointSignature(raw: String): String = {
+    val body = if (raw.startsWith("hmac1:")) raw.drop(6) else raw
+    val isHex = body.length > 64 && body(64) == '\n' &&
+      body.substring(0, 64).forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
+    if (isHex) body.substring(65) else raw
   }
 
   /** The distributed GC body: reachable = flatMap over manifests (entries
@@ -915,7 +1051,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * executors. Deletion is idempotent, so a retried task is harmless. */
   private def distributedOrphanData(
       spark: SparkSession, manifestNames: Seq[String], delete: Boolean,
-      cutoff: Long): Seq[String] = {
+      cutoff: Long, protectedByLedger: Set[String]): Seq[String] = {
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     var t0 = System.nanoTime()
     def tick(label: String): Unit = if (debug) {
@@ -928,11 +1064,13 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val mdDirStr = metadataDir.toString
     val rootStr = root.toString
     val mSlices = math.max(1, math.min(manifestNames.size, sc.defaultParallelism * 2))
+    // ledger-protected staged files ride in as extra reachable paths: the
+    // set is bounded by crashed runs' outputs, metadata-scale either way
     val reachable = sc.parallelize(manifestNames, mSlices).flatMap { name =>
       val dir = new Path(mdDirStr)
       val tfs = dir.getFileSystem(confBc.value.value)
       TableJson.readManifest(readString(tfs, new Path(dir, name))).map(_.path)
-    }
+    } ++ sc.parallelize(protectedByLedger.toSeq, 1)
     val top = fs.listStatus(dataDir).toSeq
     val loose = top.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
         st.getModificationTime < cutoff)
@@ -1028,6 +1166,12 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
 }
 
 object TokenTable {
+
+  /** Highest metadata format version this build reads/writes. 1 = inline
+    * per-snapshot manifest lists; 2 = lists spilled to snap-* files with a
+    * `manifestList` ref. A table is stamped 2 by the first commit that
+    * spills a list; older metadata stays at its written version. */
+  val CurrentFormatVersion = 2
 
   /** The engine's canonical sequence schema (BASELINE.json input_hint). */
   val sequenceSchema: StructType = StructType(Seq(

@@ -66,6 +66,19 @@ class DescribeSpec extends SparkSpec {
     assert(c.contains("ON (n.doc_id)"), c)
   }
 
+  test("cypher-esque printer: sort-order EXPRESSIONS render as per-column indexes") {
+    val t = SequenceGen.createTable(spark, tmpDir("describe-cy-sort") + "/tbl", 200, 2)
+    graft.maintenance.Maintenance.cluster(spark, t,
+      graft.maintenance.ZOrder(Seq("doc_id", "n_tok")))
+    assert(t.refresh().sortOrder == Seq("zorder(doc_id,n_tok)"))
+    val c = Describe.schemaCypher(t, "token_table")
+    // the expression string is reduced to its column list — never spliced
+    // verbatim as a (syntactically invalid) property name
+    assert(!c.contains("n.zorder("), c)
+    assert(c.contains("ON (n.doc_id)"), c)
+    assert(c.contains("ON (n.n_tok)"), c)
+  }
+
   test("history printer: one line per snapshot, current starred, refs attached") {
     val t = SequenceGen.createTable(spark, tmpDir("describe-h") + "/tbl", 100, 2)
     t.setRef("prod", t.metadata.currentSnapshotId.get, "tag")

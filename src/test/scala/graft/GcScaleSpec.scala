@@ -93,6 +93,39 @@ class GcScaleSpec extends SparkSpec {
       "GC must not sweep a ledger that a crashed run at the CURRENT snapshot can resume")
   }
 
+  test("GC never deletes staged files recorded by a resumable ledger") {
+    val root = tmpDir("gc-ledger-files") + "/tbl"
+    val t = SequenceGen.createTable(spark, root, 300, 2)
+    val cur = t.metadata.currentSnapshotId.get
+    // a crashed compact planned at the CURRENT snapshot: its ledger records
+    // a staged output no snapshot references yet; resume reuses the path
+    // verbatim, so GC must treat it as reachable even past the grace window
+    val stepId = s"compact-snap$cur-crashed"
+    val staged = entry(s"$stepId/chunk-0", 0)
+    val p = Paths.get(root, staged.path)
+    Files.createDirectories(p.getParent)
+    Files.createFile(p)
+    new graft.maintenance.Ledger(t, stepId).record("chunk-0", Seq(staged))
+    val dead = t.removeOrphans(0) // driver path
+    assert(!dead.contains(staged.path), "GC deleted a resumable ledger's staged output")
+    assert(Files.exists(p))
+    t.updateProperties(Map("gc.distributed-threshold" -> "1"))
+    assert(!t.removeOrphans(0).contains(staged.path)) // distributed path agrees
+    assert(Files.exists(p))
+    // signed-checkpoint tables: the protection must read through the HMAC
+    // envelope (GC strips, resume verifies)
+    val key = java.util.Base64.getEncoder.encodeToString("gc-test-key".getBytes)
+    t.updateProperties(Map("checkpoint.hmac-key-base64" -> key))
+    val stepId2 = s"merge-snap$cur-signed"
+    val staged2 = entry(s"$stepId2/chunk-0", 1)
+    val p2 = Paths.get(root, staged2.path)
+    Files.createDirectories(p2.getParent)
+    Files.createFile(p2)
+    new graft.maintenance.Ledger(t, stepId2).record("chunk-0", Seq(staged2))
+    assert(!t.removeOrphans(0).contains(staged2.path))
+    assert(Files.exists(p2))
+  }
+
   test("grace window: fresh files and ledgers survive default GC; aged ones are swept") {
     val root = tmpDir("gc-grace") + "/tbl"
     val t = fabricate(root, nReachable = 50, nOrphans = 5, nManifests = 1)

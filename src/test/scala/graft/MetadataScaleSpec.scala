@@ -90,6 +90,40 @@ class MetadataScaleSpec extends SparkSpec {
     assert(TokenTable.load(spark, root).scan(spark).count() == 300)
   }
 
+  test("spilled-list metadata is stamped format 2; a newer format fails loudly") {
+    val root = tmpDir("md-fv") + "/tbl"
+    val t = SequenceGen.createTable(spark, root, 100, 1)
+    // v0 (create, no snapshots) stays version 1; the first spilled list
+    // bumps the written file to 2 — a lenient version-1 reader would parse
+    // the dehydrated snapshots as EMPTY, so the bump is what makes it fail
+    // loudly instead
+    val vJson = Files.readString(Paths.get(root, s"metadata/v${t.currentVersion()}.json"))
+    assert(TableJson.readMetadata(vJson).formatVersion == 2)
+    assert(TokenTable.load(spark, root).scan(spark).count() == 100)
+    // doctor a FUTURE format version: load must refuse, not read garbage
+    val v = t.currentVersion()
+    val future = vJson.replaceFirst("\"formatVersion\"\\s*:\\s*2", "\"formatVersion\":99")
+    assert(future != vJson)
+    val out = t.fs.create(new org.apache.hadoop.fs.Path(root, s"metadata/v${v + 1}.json"), true)
+    out.write(future.getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException](TokenTable.load(spark, root).metadata)
+    assert(e.getMessage.contains("format version 99"))
+  }
+
+  test("manifest-list cache is bounded by retained history across expire cycles") {
+    val root = tmpDir("md-cache") + "/tbl"
+    val t = TokenTable.create(spark, root)
+    (1 to 60).foreach { i =>
+      t.commit("append", Seq(entry(i)))
+      if (i % 20 == 0) t.expireSnapshots(retainLast = 5)
+    }
+    t.refresh()
+    val retained = t.metadata.snapshots.size
+    assert(retained <= 25, s"retention broken: $retained snapshots")
+    assert(t.manifestListCacheSize <= retained + 1,
+      s"cache leaked: ${t.manifestListCacheSize} entries for $retained retained snapshots")
+  }
+
   test("expired snapshots' list files become orphans and GC sweeps them") {
     val root = tmpDir("md-gc") + "/tbl"
     val t = SequenceGen.createTable(spark, root, 200, 2)

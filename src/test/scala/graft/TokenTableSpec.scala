@@ -35,6 +35,35 @@ class TokenTableSpec extends SparkSpec {
     assert(df.filter(size(col("tokens")) =!= col("n_tok")).count() == 0)
   }
 
+  test("stageWrite conforms batches to the table schema: cast, null-fill, reject") {
+    val root = tmpDir("tt-conform")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 200, nFiles = 2)
+    // type-sloppy batch: bigint-array tokens into the int-array column must
+    // be cast BEFORE bytes land, or every later scan of the table fails
+    val sloppy = SequenceGen.sequences(spark, 10, seed = 3)
+      .withColumn("doc_id", concat(lit("s-"), col("doc_id")))
+      .withColumn("tokens", transform(col("tokens"), _.cast("long")))
+    t.commit("append", t.stageWrite(sloppy, "conform-cast"))
+    assert(t.scan(spark).count() == 210) // scan still readable ⇒ types agree
+    // unknown column: loud rejection, not silent drop
+    val unknown = SequenceGen.sequences(spark, 5, seed = 4).withColumn("extra", lit(1))
+    val e1 = intercept[IllegalArgumentException] { t.stageWrite(unknown, "conform-unk") }
+    assert(e1.getMessage.contains("extra"), e1.getMessage)
+    // missing nullable (evolved) column: null-filled — the full-row-upsert
+    // contract MorMergeSpec pins end-to-end
+    t.evolveSchema(Seq(graft.table.AddColumn("lang", "STRING")))
+    val canonical = SequenceGen.sequences(spark, 5, seed = 5)
+      .withColumn("doc_id", concat(lit("n-"), col("doc_id")))
+    t.commit("append", t.stageWrite(canonical, "conform-null"))
+    assert(t.scan(spark).filter(col("doc_id").startsWith("n-"))
+      .filter(col("lang").isNull).count() == 5)
+    // incompatible type (string into int array): loud rejection
+    val bad = SequenceGen.sequences(spark, 5, seed = 6)
+      .withColumn("tokens", transform(col("tokens"), _.cast("string")))
+    val e2 = intercept[IllegalArgumentException] { t.stageWrite(bad, "conform-bad") }
+    assert(e2.getMessage.contains("tokens"), e2.getMessage)
+  }
+
   test("create + append + scan round-trips content") {
     val root = tmpDir("tt-basic")
     val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 5000, nFiles = 16)
