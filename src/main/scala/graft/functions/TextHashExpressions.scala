@@ -144,7 +144,9 @@ case class WordSetHashes(child: Expression)
   * arithmetic (all operands non-negative, so `%` equals `pmod`). */
 case class ShingleMinHashes(child: Expression, n: Int, k: Int)
     extends UnaryExpression with CodegenFallback {
-  require(n >= 1 && k >= 1 && k <= 64, "shingle n >= 1, 1 <= k <= 64")
+  // k is only a loop bound (O(windows·k) work, k longs of state) — no
+  // packing ties it to 64; the generous cap just guards absurd signatures
+  require(n >= 1 && k >= 1 && k <= 4096, "shingle n >= 1, 1 <= k <= 4096")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_min_hashes"
 

@@ -159,7 +159,12 @@ object Maintenance {
           "input-files" -> victims.size.toString,
           "input-records" -> victims.map(_.records).sum.toString),
         replacedRange = TokenTable.docRange(victims),
-        readDeletePaths = Some(plannedDeletes))
+        readDeletePaths = Some(plannedDeletes),
+        // a full re-cluster declares its layout atomically with the data
+        // commit; a binpack compact declares nothing
+        declareSortOrder =
+          if (operation == "cluster" && layout != Concat) Some(Seq(layout.describe))
+          else None)
       catch {
         case e: graft.table.CommitConflictException =>
           // stale victim set: a replanned compact gets a new stepId, so the
@@ -179,13 +184,14 @@ object Maintenance {
       targetFileBytes: Long = DefaultTargetFileBytes,
       chunks: Int = 1): Option[Snapshot] = {
     // One chunk: a curve re-cluster is a single global repartitionByRange so
-    // key ranges do not straddle chunk boundaries.
-    val snap = compact(spark, table, layout, targetFileBytes, smallFileThreshold = None,
+    // key ranges do not straddle chunk boundaries. The declared clustering
+    // rides the cluster commit itself (TokenTable.commit declareSortOrder) —
+    // atomically, so no crash window can leave clustered data undeclared.
+    // The declaration is Iceberg write-order semantics: the layout the
+    // table WAS last clustered to, not a per-file guarantee — later appends
+    // and binpack compacts do not clear it.
+    compact(spark, table, layout, targetFileBytes, smallFileThreshold = None,
       chunks = chunks, operation = "cluster")
-    // record the declared clustering so describe printers and planners can
-    // see the table's layout; a pure binpack declares nothing
-    if (snap.nonEmpty && layout != Concat) table.setSortOrder(Seq(layout.describe))
-    snap
   }
 
   private def applyLayout(
@@ -389,7 +395,9 @@ object Maintenance {
     * either a typo or data the caller wrongly believes will land; fail loud
     * instead of losing it. */
   private def validateMergeBatch(batch: DataFrame): Unit = {
-    val canonical = Seq("doc_id", "tokens", "n_tok", "source")
+    // single source of truth for the canonical shape — if the sequence
+    // schema ever gains a field, the validator follows automatically
+    val canonical = graft.table.TokenTable.sequenceSchema.fieldNames.toSeq
     val allowed = canonical.toSet ++ Set("_seq", "_op")
     val unknown = batch.columns.filterNot(allowed.contains)
     require(unknown.isEmpty,

@@ -28,10 +28,19 @@ object Incremental {
     // skip (or replay) every file between the true and forged positions
     private val store = graft.maintenance.ObjectStore.forTable(table)
     private val key = s"cursor-$consumer.text"
-    def get(): Option[Long] =
-      store.get(key).map(b => new String(b, "UTF-8").trim.toLong)
-    def set(snapshotId: Long): Unit =
-      store.put(key, snapshotId.toString.getBytes("UTF-8"))
+    // wire format: first line = snapshot id; each further line = an
+    // already-processed path the snapshot cannot yet exclude (back-compat:
+    // pre-exclusion cursors are a single line)
+    private def read(): Option[Seq[String]] =
+      store.get(key).map(b => new String(b, "UTF-8").linesIterator.toSeq)
+    def get(): Option[Long] = read().flatMap(_.headOption).map(_.trim.toLong)
+    /** Paths this consumer has already processed that `get()`'s snapshot
+      * does not contain (a tick's own outputs — see [[compactTick]]). */
+    def exclusions(): Set[String] =
+      read().map(_.drop(1).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    def set(snapshotId: Long, exclude: Set[String] = Set.empty): Unit =
+      store.put(key,
+        (snapshotId.toString +: exclude.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
   }
 
   /** Data files present in the current snapshot but not in `sinceSnapshot`
@@ -76,29 +85,43 @@ object Incremental {
     // the same invariant every other maintenance planner holds; commit's
     // readDeletePaths validation then catches any delete landing after it.
     val m = table.refresh()
+    val excl = cursor.exclusions()
     val fresh = newFilesSince(table, m, cursor.get())
-      .filter(_.bytes < smallFileThreshold)
+      .filter(f => f.bytes < smallFileThreshold && !excl.contains(f.path))
     val plannedDeletes = table.deletePathsOf(m)
-    val committedId =
-      if (fresh.size < 2) m.currentSnapshotId
-      else {
-        // stage + commit only the freshly appended files
-        val input = table.readFiles(spark, fresh, table.deleteEntriesOf(m))
-        val nOut = math.max(1, math.ceil(
-          fresh.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
-        val staged = table.stageWrite(
-          Maintenance.repartitionByTokenMass(input, nOut),
-          s"inc-compact-${java.util.UUID.randomUUID()}")
-        val snap = table.commit("compact", staged, fresh.map(_.path).toSet,
-          summary = Map("mode" -> "incremental", "consumer" -> consumer),
-          readDeletePaths = Some(plannedDeletes))
-        Some(snap.snapshotId)
-      }
-    // advance to the snapshot this tick actually processed through — the
-    // volatile current may already include a concurrent append whose files
-    // this tick never saw and must not skip
-    committedId.foreach(cursor.set)
-    if (fresh.size < 2) 0 else fresh.size
+    graft.maintenance.Failpoints.hitCallback("inc.after-plan")
+    // Cursor discipline: advance to the PLANNING snapshot — the view
+    // `fresh` was computed from — never further. The commit's own snapshot
+    // is already too far: a concurrent append landing mid-tick gets
+    // rebased INTO the compact snapshot via manifest carry-forward, so
+    // diffing against it would hide those never-seen files from every
+    // later tick. Against the planning snapshot the tick's own outputs
+    // also re-surface, so they ride along as explicit path EXCLUSIONS
+    // (bounded by one tick's output count) until the next advance folds
+    // them into the cursor snapshot — ticks never re-compact their own
+    // outputs (bounded write amplification; a scheduled full compact owns
+    // global re-binpacking). A LONE pending small file keeps the cursor
+    // in place so it stays in view until a companion arrives.
+    if (fresh.size >= 2) {
+      // stage + commit only the freshly appended files
+      val input = table.readFiles(spark, fresh, table.deleteEntriesOf(m))
+      val nOut = math.max(1, math.ceil(
+        fresh.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
+      val staged = table.stageWrite(
+        Maintenance.repartitionByTokenMass(input, nOut),
+        s"inc-compact-${java.util.UUID.randomUUID()}")
+      table.commit("compact", staged, fresh.map(_.path).toSet,
+        summary = Map("mode" -> "incremental", "consumer" -> consumer),
+        readDeletePaths = Some(plannedDeletes))
+      m.currentSnapshotId.foreach(id => cursor.set(id, staged.map(_.path).toSet))
+      fresh.size
+    } else {
+      // zero pending: advance (prior exclusions are inside m's manifests
+      // by now — they were committed before this refresh — so drop them);
+      // exactly one pending: hold position, keep it fresh
+      if (fresh.isEmpty) m.currentSnapshotId.foreach(id => cursor.set(id))
+      0
+    }
   }
 
   /** The shared exactly-once micro-batch sink: `op(table, batch, batchId)`

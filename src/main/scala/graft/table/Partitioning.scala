@@ -76,7 +76,12 @@ object Partitioning {
       // mirrors the column form's pmod(cast long, n) for integral columns
       (((value.toLong % f.n.get) + f.n.get) % f.n.get).toString
     case "truncate" if dataType == StringType =>
-      value.substring(0, math.min(f.n.get, value.length))
+      // Spark's substring counts CODE POINTS, not UTF-16 units — a
+      // String.substring(0, w) would cut supplementary characters
+      // differently and disagree with the tuple the column form recorded
+      val end = value.offsetByCodePoints(
+        0, math.min(f.n.get, value.codePointCount(0, value.length)))
+      value.substring(0, end)
     case "truncate" =>
       val v = value.toLong
       val w = f.n.get

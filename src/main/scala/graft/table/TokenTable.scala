@@ -586,7 +586,11 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       // file the planner did not read, the commit aborts with
       // CommitConflictException and the caller replans (Iceberg's
       // validateNoNewDeleteFiles).
-      readDeletePaths: Option[Set[String]] = None): Snapshot = {
+      readDeletePaths: Option[Set[String]] = None,
+      // Declared clustering to record IN THE SAME metadata write as the
+      // snapshot (a separate setSortOrder commit could be lost to a crash
+      // between the two, leaving a clustered table with no declared order).
+      declareSortOrder: Option[Seq[String]] = None): Snapshot = {
     var attempt = 0
     while (true) {
       val base = refresh()
@@ -673,12 +677,13 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
           "removed-files" -> replaced.size.toString,
           "added-records" -> added.map(_.records).sum.toString),
         deleteManifests = if (newDeletes.nonEmpty) Some(newDeletes) else None)
-      val next = branch match {
+      val next0 = branch match {
         case None => base.withSnapshot(snap)
         case Some(b) => base.copy(
           snapshots = base.snapshots :+ snap,
           refs = Some(base.refMap + (b -> SnapshotRef(snap.snapshotId, "branch"))))
       }
+      val next = declareSortOrder.fold(next0)(so => next0.copy(sortOrder = so))
       tryCommitVersion(currentVersion() + 1, next).foreach { committed =>
         meta = committed
         return committed.snapshot(snap.snapshotId).getOrElse(snap)
@@ -1026,22 +1031,12 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         fs.listStatus(st.getPath).toSeq
           .filter(u => u.isFile && u.getPath.getName.endsWith(".json"))
           .flatMap { u =>
-            val body = stripCheckpointSignature(readString(fs, u.getPath))
+            val body = graft.maintenance.HmacSigner.stripUnverified(
+              readString(fs, u.getPath))
             scala.util.Try(TableJson.readManifest(body).map(_.path))
               .getOrElse(Seq.empty)
           }
       }.toSet
-  }
-
-  /** Strip a checkpoint-blob HMAC envelope ("hmac1:" + 64 hex + '\n', or
-    * the legacy prefixless 64-hex + '\n' form) without verifying it; a blob
-    * in neither form is returned unchanged (unsigned store). */
-  private def stripCheckpointSignature(raw: String): String = {
-    val body = if (raw.startsWith("hmac1:")) raw.drop(6) else raw
-    val isHex = body.length > 64 && body(64) == '\n' &&
-      body.substring(0, 64).forall(c =>
-        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
-    if (isHex) body.substring(65) else raw
   }
 
   /** The distributed GC body: reachable = flatMap over manifests (entries

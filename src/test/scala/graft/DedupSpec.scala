@@ -69,7 +69,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ShingleMinHashes == columnar minHashes over shingle hashes (nasty strings, several n/k)") {
-    for (n <- Seq(1, 3); k <- Seq(1, 12)) {
+    // k = 100 covers the standard 20-band × 5-row LSH config — signature
+    // width is a loop bound, not packed into a word, so no 64 cap
+    for (n <- Seq(1, 3); k <- Seq(1, 12, 100)) {
       val native = nastyCorpus
         .select(col("doc_id"), DedupOps.wordHashStates(col("text")).as("_ws"))
         .select(col("doc_id"), DedupOps.shingleMinHashes(col("_ws"), n, k).as("mh"))

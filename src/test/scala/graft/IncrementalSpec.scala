@@ -31,6 +31,38 @@ class IncrementalSpec extends SparkSpec {
     assert(filesAfter1.subsetOf(t.liveFiles().map(_.path).toSet))
   }
 
+  test("a concurrent append landing mid-tick is compacted by the NEXT tick, not skipped") {
+    // The tick's commit rebases over the concurrent append and carries its
+    // manifest forward — so a cursor advanced to the COMMIT snapshot would
+    // hide the never-seen files forever. The cursor must advance only to
+    // the planning snapshot (with the tick's own outputs as exclusions).
+    val root = tmpDir("inc-race")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 1000, nFiles = 4)
+    graft.maintenance.Failpoints.armCallback("inc.after-plan") { () =>
+      SequenceGen.appendScattered(spark, t, nDocs = 300, nFiles = 2, seed = 91)
+    }
+    try {
+      assert(Incremental.compactTick(spark, t, smallFileThreshold = 512L * 1024 * 1024) == 4)
+    } finally graft.maintenance.Failpoints.reset()
+    // the 2 mid-tick files were never considered; they must still be fresh
+    assert(Incremental.compactTick(spark, t, smallFileThreshold = 512L * 1024 * 1024) == 2)
+    assert(t.scan(spark).count() == 1300)
+    // and ticks never re-compact their own outputs
+    assert(Incremental.compactTick(spark, t, smallFileThreshold = 512L * 1024 * 1024) == 0)
+  }
+
+  test("a lone small file stays in view until a companion arrives") {
+    val root = tmpDir("inc-lone")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 200, nFiles = 1)
+    // one small file: nothing to binpack, but the cursor must NOT advance
+    // past it — it would otherwise never be compacted however many files
+    // arrive later
+    assert(Incremental.compactTick(spark, t, smallFileThreshold = 512L * 1024 * 1024) == 0)
+    SequenceGen.appendScattered(spark, t, nDocs = 200, nFiles = 1, seed = 92)
+    assert(Incremental.compactTick(spark, t, smallFileThreshold = 512L * 1024 * 1024) == 2)
+    assert(t.scan(spark).count() == 400)
+  }
+
   test("streaming append: each micro-batch is one atomic snapshot, idempotent by batch id") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

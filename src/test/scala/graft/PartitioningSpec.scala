@@ -99,6 +99,15 @@ class PartitioningSpec extends SparkSpec {
     val sf = PartitionField("source", "truncate", Some(3))
     assert(Partitioning.transformValue(sf, "webcrawl", StringType) == "web")
     assert(Partitioning.transformValue(sf, "ab", StringType) == "ab")
+    // code points, not UTF-16 units: a supplementary char (U+1D54F, two
+    // UTF-16 units) counts as ONE — both forms must agree or driver-side
+    // pruning against column-recorded tuples drops matching files
+    import spark.implicits._
+    val supp = new String(Character.toChars(0x1D54F)) + "abc"
+    val suppDf = Seq(Tuple1(supp)).toDF("source").select(
+      Partitioning.transformCol(sf, StringType).as("t"))
+    assert(suppDf.head.getString(0) == Partitioning.transformValue(sf, supp, StringType),
+      "string-truncate column/value forms disagree on supplementary characters")
     // column form agrees with the value form on real data
     val df = spark.range(-5, 50).select((col("id") * 37).cast("int").as("n_tok"))
     val both = df.select(col("n_tok"),
