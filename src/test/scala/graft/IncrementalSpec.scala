@@ -63,6 +63,64 @@ class IncrementalSpec extends SparkSpec {
     assert(t.scan(spark).count() == 400)
   }
 
+  test("model check: random append/tick/mid-tick-append interleavings — content exact, amplification bounded") {
+    // The cursor discipline under arbitrary interleaving: (1) scan content
+    // always equals everything appended; (2) ticks reach a fixpoint (two
+    // consecutive no-ops) once appends stop; (3) WRITE AMPLIFICATION BOUND —
+    // every appended row is rewritten by ticks AT MOST ONCE (outputs are
+    // cursor-excluded, so the sum of tick-compact input rows can never
+    // exceed the rows appended), the property that makes per-trigger
+    // incremental maintenance affordable at streaming commit rates.
+    val rng = new scala.util.Random(20260818L)
+    val big = 512L * 1024 * 1024
+    (1 to 2).foreach { round =>
+      val root = tmpDir(s"inc-model-$round")
+      val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 400, nFiles = 3)
+      var appended = 400L
+      (1 to 8).foreach { _ =>
+        rng.nextInt(3) match {
+          case 0 =>
+            val n = 100 + rng.nextInt(200)
+            SequenceGen.appendScattered(spark, t, nDocs = n,
+              nFiles = 1 + rng.nextInt(3), seed = rng.nextInt(1 << 20))
+            appended += n
+          case 1 =>
+            Incremental.compactTick(spark, t, smallFileThreshold = big)
+          case 2 =>
+            val n = 50 + rng.nextInt(100)
+            graft.maintenance.Failpoints.armCallback("inc.after-plan") { () =>
+              SequenceGen.appendScattered(spark, t, nDocs = n, nFiles = 2,
+                seed = rng.nextInt(1 << 20))
+            }
+            try Incremental.compactTick(spark, t, smallFileThreshold = big)
+            finally graft.maintenance.Failpoints.reset()
+            appended += n
+        }
+        assert(t.scan(spark).count() == appended, s"round $round lost/duplicated rows")
+      }
+      // quiesce: ticks reach a fixpoint within the pending backlog
+      var zeros = 0; var guard = 0
+      while (zeros < 2 && guard < 12) {
+        if (Incremental.compactTick(spark, t, smallFileThreshold = big) == 0) zeros += 1
+        else zeros = 0
+        guard += 1
+      }
+      assert(zeros == 2, s"round $round: ticks never reached a fixpoint")
+      assert(t.scan(spark).count() == appended)
+      // amplification: total rows written by tick compacts <= rows appended
+      // (a compact's output rows == its input rows, and outputs are
+      // cursor-excluded, so exceeding `appended` means an output was
+      // re-compacted)
+      val tickRows = t.metadata.snapshots
+        .filter(s => s.operation == "compact" &&
+          s.summary.get("mode").contains("incremental"))
+        .map(_.summary.getOrElse("added-records", "0").toLong).sum
+      assert(tickRows <= appended,
+        s"round $round: ticks rewrote $tickRows rows for $appended appended — " +
+          "an output was re-compacted")
+    }
+  }
+
   test("streaming append: each micro-batch is one atomic snapshot, idempotent by batch id") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
