@@ -46,12 +46,15 @@ class ConcurrentMergeSpec extends SparkSpec {
     val b = upd(1, "rb")
     val na = a.count(); val nb = b.count()
     assert(na > 0 && nb > 0 && na + nb == 2000)
-    // generous attempt budget: under a fully loaded test machine the
-    // rename+conflict retries can need more than the default headroom
+    // generous attempt + wall budgets: under a fully loaded test machine
+    // (29 suites in parallel on a noisy shared host) the rename+conflict
+    // retries and the two full CoW merge jobs can need far more than the
+    // default headroom — an Await timeout here is a harness artifact, not
+    // a concurrency bug, so the budget errs long
     val fa = Future(Maintenance.mergeIntoRetrying(spark, t, a, maxAttempts = 10))
     val fb = Future(Maintenance.mergeIntoRetrying(spark, t, b, maxAttempts = 10))
-    val sa = Await.result(fa, 5.minutes)
-    val sb = Await.result(fb, 5.minutes)
+    val sa = Await.result(fa, 15.minutes)
+    val sb = Await.result(fb, 15.minutes)
     t.refresh()
     assert(t.metadata.snapshots.size == snaps0 + 2, "both merges must commit")
     assert(sa.snapshotId != sb.snapshotId)
