@@ -437,7 +437,8 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * (compact/cluster/merge outputs re-read from the table) resolve to
     * all-identity and cost nothing at runtime. */
   private def conformToSchema(df: DataFrame, schema: StructType): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     // nullability is declarative here (writes never enforced it; parquet
     // physical types are what pinned-schema readers check) — compare and
     // cast on nullability-relaxed types throughout
@@ -464,7 +465,15 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
           require(Cast.canANSIStoreAssign(relax(in.dataType), relax(f.dataType)),
             s"batch column '${f.name}' has type ${in.dataType.simpleString}, " +
               s"not storable into table type ${f.dataType.simpleString}")
-          col(f.name).cast(relax(f.dataType)).as(f.name)
+          // The cast itself must be ANSI regardless of the session's
+          // spark.sql.ansi.enabled: Column.cast follows the session flag, so
+          // in a LEGACY session a long→int overflow would silently wrap and
+          // commit corrupted values while the contract promises a loud
+          // failure. Build the Cast with EvalMode.ANSI explicitly (timezone
+          // is filled in by the analyzer's ResolveTimeZone rule).
+          ColumnBridge.column(Cast(
+            ColumnBridge.expression(col(f.name)),
+            relax(f.dataType), None, EvalMode.ANSI)).as(f.name)
       }
     }
     // fast path: same names, order, and physical types → no projection
@@ -991,16 +1000,17 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       meta.snapshots.flatMap(s => s.manifests ++ s.deletes)
         .groupBy(_.path).map(_._2.head).toSeq
     val totalEntries = manifestMetas.map(_.addedFiles.toLong).sum
-    val protectedByLedger = ledgerProtectedFiles()
+    val (protectedByLedger, protectedPrefixes) = ledgerProtectedFiles()
     val session = org.apache.spark.sql.SparkSession.getActiveSession
     if (session.nonEmpty && totalEntries >= gcDistributedThreshold)
       distributedOrphanData(session.get, manifestMetas.map(_.path), delete, cutoff,
-        protectedByLedger)
+        protectedByLedger, protectedPrefixes)
     else {
       val reachable: Set[String] =
         meta.snapshots.flatMap(manifestEntries).map(_.path).toSet ++
           meta.snapshots.flatMap(deleteEntries).map(_.path) ++ protectedByLedger
-      val dead = listDataFiles(cutoff).filterNot(reachable.contains)
+      val dead = listDataFiles(cutoff).filterNot(p =>
+        reachable.contains(p) || protectedPrefixes.exists(p.startsWith))
       if (delete) dead.foreach(deleteDataFile)
       dead
     }
@@ -1017,26 +1027,38 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * swept — files and record — in the same GC pass. Blob signatures are
     * stripped, NOT verified: GC only needs path names, and over-protecting
     * on an unverifiable blob is the conservative failure (the resume path
-    * still verifies). Ledger count is bounded by crashed runs, so this is
-    * metadata-scale driver work. */
-  private def ledgerProtectedFiles(): Set[String] = {
+    * still verifies). A unit that fails to PARSE (truncated blob, crashed
+    * mid-write, signature-envelope mismatch) protects conservatively too:
+    * the whole `data/<stepId>/` staging prefix of that ledger becomes
+    * reachable, because returning nothing would let GC delete staged files
+    * while [[sweepStaleLedgers]] keeps the ledger — the exact dangling-path
+    * failure this protection exists to prevent. Ledger count is bounded by
+    * crashed runs, so this is metadata-scale driver work.
+    * Returns (exact protected paths, protected path PREFIXES). */
+  private def ledgerProtectedFiles(): (Set[String], Set[String]) = {
     val ledgerDir = new Path(metadataDir, "ledger")
-    val cur = meta.currentSnapshotId.getOrElse(return Set.empty)
-    if (!fs.exists(ledgerDir)) return Set.empty
+    val cur = meta.currentSnapshotId.getOrElse(return (Set.empty, Set.empty))
+    if (!fs.exists(ledgerDir)) return (Set.empty, Set.empty)
     val snapRe = "-snap(\\d+)-".r
+    val paths = Set.newBuilder[String]
+    val prefixes = Set.newBuilder[String]
     fs.listStatus(ledgerDir).toSeq
       .filter(st => st.isDirectory &&
         snapRe.findFirstMatchIn(st.getPath.getName).exists(_.group(1).toLong >= cur))
-      .flatMap { st =>
+      .foreach { st =>
         fs.listStatus(st.getPath).toSeq
           .filter(u => u.isFile && u.getPath.getName.endsWith(".json"))
-          .flatMap { u =>
+          .foreach { u =>
             val body = graft.maintenance.HmacSigner.stripUnverified(
               readString(fs, u.getPath))
-            scala.util.Try(TableJson.readManifest(body).map(_.path))
-              .getOrElse(Seq.empty)
+            scala.util.Try(TableJson.readManifest(body).map(_.path)) match {
+              case scala.util.Success(ps) => paths ++= ps
+              case scala.util.Failure(_) =>
+                prefixes += s"data/${st.getPath.getName}/"
+            }
           }
-      }.toSet
+      }
+    (paths.result(), prefixes.result())
   }
 
   /** The distributed GC body: reachable = flatMap over manifests (entries
@@ -1046,7 +1068,8 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * executors. Deletion is idempotent, so a retried task is harmless. */
   private def distributedOrphanData(
       spark: SparkSession, manifestNames: Seq[String], delete: Boolean,
-      cutoff: Long, protectedByLedger: Set[String]): Seq[String] = {
+      cutoff: Long, protectedByLedger: Set[String],
+      protectedPrefixes: Set[String]): Seq[String] = {
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     var t0 = System.nanoTime()
     def tick(label: String): Unit = if (debug) {
@@ -1101,7 +1124,11 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       buf
     } ++ sc.parallelize(loose, 1)
     tick("plan")
-    val dead = listed.subtract(reachable)
+    // prefix-protected staging dirs (unparseable ledger units — conservative
+    // over-protection): tiny set, rides as a task-closure filter
+    val prefixesLocal = protectedPrefixes
+    val dead = listed.filter(p => !prefixesLocal.exists(p.startsWith))
+      .subtract(reachable)
     val out =
       if (delete) dead.mapPartitions { it =>
         val tfs = new Path(rootStr).getFileSystem(confBc.value.value)
@@ -1122,15 +1149,25 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * be resumed and would otherwise accumulate forever on busy tables.
     * The grace cutoff additionally protects a LIVE run in that state (its
     * plan was invalidated by a newer commit but it is still writing units
-    * before discovering the conflict): directory mtimes move on child
-    * writes, so an active ledger is younger than any sane grace window. */
+    * before discovering the conflict). Liveness is judged by the NEWEST
+    * CHILD file's mtime (max'd with the directory's own, for an empty just-
+    * created ledger): directory mtimes move on child writes on local FS /
+    * HDFS but object stores have no directories and no mtime propagation,
+    * so keying off the directory entry alone would sweep an actively-
+    * written ledger there. One extra listing per candidate dir — the dir is
+    * listed for deletion anyway, and ledger count is crash-bounded. */
   private def sweepStaleLedgers(cutoff: Long): Seq[String] = {
     val ledgerDir = new Path(metadataDir, "ledger")
     val cur = meta.currentSnapshotId.getOrElse(return Seq.empty)
     if (!fs.exists(ledgerDir)) return Seq.empty
     val snapRe = "-snap(\\d+)-".r
+    def newestTouch(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val children = scala.util.Try(fs.listStatus(st.getPath).toSeq)
+        .getOrElse(Seq.empty)
+      (st.getModificationTime +: children.map(_.getModificationTime)).max
+    }
     fs.listStatus(ledgerDir).toSeq
-      .filter(st => st.isDirectory && st.getModificationTime < cutoff)
+      .filter(st => st.isDirectory && newestTouch(st) < cutoff)
       .flatMap { st =>
         val name = st.getPath.getName
         snapRe.findFirstMatchIn(name) match {

@@ -126,6 +126,31 @@ class GcScaleSpec extends SparkSpec {
     assert(Files.exists(p2))
   }
 
+  test("unparseable unit of a resumable ledger protects its whole staging prefix") {
+    val root = tmpDir("gc-ledger-corrupt") + "/tbl"
+    val t = SequenceGen.createTable(spark, root, 300, 2)
+    val cur = t.metadata.currentSnapshotId.get
+    // a resumable ledger whose single unit blob is truncated garbage: the
+    // file names it recorded are unrecoverable, so GC must over-protect the
+    // ledger's entire data/<stepId>/ staging prefix — deleting any of it
+    // while sweepStaleLedgers keeps the ledger leaves the resume dangling
+    val stepId = s"compact-snap$cur-corrupt"
+    val ledgerP = Paths.get(root, s"metadata/ledger/$stepId")
+    Files.createDirectories(ledgerP)
+    Files.writeString(ledgerP.resolve("chunk-0.json"), """[{"path":"data/trunc""")
+    val staged = entry(s"$stepId/chunk-0", 0)
+    val p = Paths.get(root, staged.path)
+    Files.createDirectories(p.getParent)
+    Files.createFile(p)
+    val dead = t.removeOrphans(0) // driver path
+    assert(!dead.contains(staged.path),
+      "GC deleted staged output recorded only in a corrupt (unparseable) unit")
+    assert(Files.exists(p))
+    t.updateProperties(Map("gc.distributed-threshold" -> "1"))
+    assert(!t.removeOrphans(0).contains(staged.path)) // distributed path agrees
+    assert(Files.exists(p))
+  }
+
   test("grace window: fresh files and ledgers survive default GC; aged ones are swept") {
     val root = tmpDir("gc-grace") + "/tbl"
     val t = fabricate(root, nReachable = 50, nOrphans = 5, nManifests = 1)
@@ -140,9 +165,18 @@ class GcScaleSpec extends SparkSpec {
     assert(!fresh.exists(_.startsWith("data/")), s"default GC deleted fresh files: $fresh")
     assert(Files.list(Paths.get(root, "data/orphan")).count() == 5)
     assert(Files.exists(staleLedger))
-    // age everything past the window; the same pass now sweeps it
+    // an aged ledger DIRECTORY with a fresh child is still live: object
+    // stores never touch a "directory" entry on child writes, so liveness
+    // keys off the newest child — a sweep here would kill an active run
     val old = java.nio.file.attribute.FileTime.fromMillis(1000L)
+    Files.setLastModifiedTime(staleLedger, old)
+    assert(!t.removeOrphans().contains(s"metadata/ledger/compact-snap${cur - 1}-x"))
+    assert(Files.exists(staleLedger),
+      "GC swept a stale-dir/fresh-child ledger (directory-mtime reasoning)")
+    // age everything past the window — children included; the same pass now
+    // sweeps it
     Files.list(Paths.get(root, "data/orphan")).forEach(Files.setLastModifiedTime(_, old))
+    Files.setLastModifiedTime(staleLedger.resolve("unit.json"), old)
     Files.setLastModifiedTime(staleLedger, old)
     val dead = t.removeOrphans()
     assert(dead.count(_.startsWith("data/")) == 5, s"aged orphans not swept: $dead")

@@ -64,6 +64,27 @@ class TokenTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("tokens"), e2.getMessage)
   }
 
+  test("conform cast stays ANSI in a LEGACY session: overflow throws, never wraps") {
+    val root = tmpDir("tt-conform-ansi")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 20, nFiles = 1)
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    // migrated workloads commonly run ANSI-off; Column.cast would follow the
+    // flag and silently wrap long→int overflow into committed corruption —
+    // the conform projection must pin EvalMode.ANSI itself
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val overflow = SequenceGen.sequences(spark, 5, seed = 7)
+        .withColumn("doc_id", concat(lit("o-"), col("doc_id")))
+        .withColumn("tokens", array(lit(4000000000L))) // > Int.MaxValue
+        .withColumn("n_tok", lit(1))
+      val e = intercept[Throwable] { t.stageWrite(overflow, "conform-ansi") }
+      def chain(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: chain(x.getCause)
+      assert(chain(e).exists(_.isInstanceOf[ArithmeticException]), s"got: $e")
+      assert(t.scan(spark).count() == 20, "a wrapped batch landed")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("create + append + scan round-trips content") {
     val root = tmpDir("tt-basic")
     val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 5000, nFiles = 16)
