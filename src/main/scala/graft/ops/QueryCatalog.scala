@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -206,31 +208,49 @@ object QueryCatalog {
     * relationally. */
   def streamWindowCounts(s: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
-    // Cache for the replay prep: the min/max probe and the four bucket
-    // writes below would otherwise each rescan the parquet (5 full scans).
-    val events = tbl(s, dir, "events").persist()
-    // Replay in event-time order (4 sequential time-range files): an
-    // unordered replay would race the advancing watermark and drop
-    // arbitrary events as late — a replay artifact, not stream semantics.
-    // Bucketing uses precomputed min/max time cut points, NOT a global
-    // window (a no-partition ntile would single-partition the whole table);
-    // any ts-ordered split yields the same append output, because ordered
-    // arrival means no event is ever late and the final watermark depends
-    // only on the global max ts.
+    val events = tbl(s, dir, "events")
+    // Replay in event-time order (4 time-range files): an unordered replay
+    // would race the advancing watermark and drop arbitrary events as late —
+    // a replay artifact, not stream semantics. Bucketing uses precomputed
+    // min/max time cut points, NOT a global window (a no-partition ntile
+    // would single-partition the whole table); any ts-ordered split yields
+    // the same append output, because ordered arrival means no event is
+    // ever late and the final watermark depends only on the global max ts.
     val (tsMin, tsMax) = tsBounds(events, "ts")
     val span = math.max(tsMax - tsMin + 1, 4L)
     val bucketed = events.withColumn("_b",
       least(floor((tsSec(col("ts")) - lit(tsMin)) * 4.0 / span), lit(3.0)).cast("int"))
+    // ONE shuffle pass writes all four bucket files in parallel tasks
+    // (hash-partitioning on _b sends each bucket's rows to exactly one task,
+    // so each partition dir holds exactly one file) — the previous four
+    // sequential filter+repartition(1) jobs serialized four single-task
+    // parquet encodes and made this query's wall time the suite's most
+    // scheduling-sensitive. Replay order is then pinned EXPLICITLY by
+    // setting each file's mtime (base + bucket), not inherited from write
+    // completion order: the file stream source orders by mtime, and relying
+    // on four sub-second write timestamps is exactly the kind of
+    // nondeterminism this query showed between same-code runs.
+    bucketed.repartition(col("_b"))
+      .write.partitionBy("_b").mode("overwrite").parquet(s"$src/stage")
+    val base = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(src, "stage")).toMillis
     (0 to 3).foreach { k =>
-      // repartition(1), NOT coalesce(1): coalesce would collapse the whole
-      // scan+filter chain into a single task (4 sequential single-threaded
-      // full scans of the events table); the shuffle keeps the scan parallel
-      // and only the quarter-sized write runs in one task (one file per
-      // bucket is what gives the replay its deterministic mtime order).
-      bucketed.filter(col("_b") === k).drop("_b")
-        .repartition(1).write.mode("overwrite").parquet(s"$src/b${k + 1}")
+      val dst = java.nio.file.Paths.get(src, s"b${k + 1}")
+      java.nio.file.Files.createDirectories(dst)
+      // the dir also holds the hidden .part-*.crc checksum — match the data file
+      val part = java.nio.file.Files.list(
+          java.nio.file.Paths.get(src, "stage", s"_b=$k")).iterator().asScala
+        .find(p => p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .getOrElse(sys.error(s"no parquet file staged for bucket $k"))
+      val moved = java.nio.file.Files.move(part, dst.resolve(part.getFileName))
+      java.nio.file.Files.setLastModifiedTime(moved,
+        java.nio.file.attribute.FileTime.fromMillis(base + k * 1000L))
     }
-    events.unpersist()
+    // drop the emptied staging tree so the replay glob sees only b1..b4
+    java.nio.file.Files.walk(java.nio.file.Paths.get(src, "stage"))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(java.nio.file.Files.delete(_))
     val stream = s.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$src/*")
       // watermarks require TIMESTAMP (ltz); the table stores NTZ — UTC session
