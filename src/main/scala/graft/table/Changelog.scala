@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
  *    files and NOTHING ELSE is read. This is the steady-state streaming
  *    ingest case: cost O(new data), zero joins, zero shuffles.
  *  - **Content diff**: otherwise (CoW merge, deletes, MoR keys), diff the
- *    two snapshot scans on a 64-bit content hash — two hash anti-joins on
- *    (doc_id, hash), each a slim 16-byte-per-row build side that AQE
- *    broadcasts when it fits. O(|from| + |to|) scan, but exact for every
- *    operation mix, and the expensive case is precisely the one where the
- *    log genuinely rewrote old files.
+ *    two snapshot scans on a pair of independently-seeded 64-bit content
+ *    hashes — two hash anti-joins on (doc_id, h1, h2), each a slim
+ *    24-byte-per-row build side that AQE broadcasts when it fits.
+ *    O(|from| + |to|) scan; exact for every operation mix up to a
+ *    simultaneous two-stream hash collision (~2^-128 per doc), and the
+ *    expensive case is precisely the one where the log genuinely rewrote
+ *    old files. Both sides are projected into the CURRENT schema by
+ *    field-id, so the diff stays well-defined across schema evolution.
  *
  * Content-diff rows are matched as a SET per (doc_id, content): like
  * [[graft.maintenance.Maintenance.deleteWhereMor]], the diff path assumes
@@ -88,22 +91,30 @@ object Changelog {
       val added = toFiles.filterNot(f => fromPaths.contains(f.path))
       withChangeType(table.readFiles(spark, added, toDeletes), lit("insert"))
     } else {
+      // Both scans project their files into the CURRENT schema by field-id
+      // (TokenTable.readFiles), so changes are reported in the reader's
+      // schema and add/drop/rename mid-range never breaks CDC continuity:
+      // a column added in the range reads as null from pre-evolution files,
+      // so untouched rows hash equal and only genuinely-rewritten rows
+      // surface as delete+insert (Iceberg changelog-scan semantics).
       val oldDf = fromSnap.map(s => table.scan(spark, Some(s.snapshotId)))
         .getOrElse(emptyLike(spark, table))
       val newDf = table.scan(spark, Some(to))
-      require(oldDf.columns.sameElements(newDf.columns),
-        "changesBetween across a schema evolution is not supported: " +
-          s"${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
-      val hash = xxhash64(newDf.columns.map(col).toIndexedSeq: _*)
-      val o = oldDf.withColumn("_h", hash)
-      val n = newDf.withColumn("_h", hash)
-      val deletes = o.join(n.select(col("doc_id"), col("_h")),
-        Seq("doc_id", "_h"), "left_anti")
-      val inserts = n.join(o.select(col("doc_id"), col("_h")),
-        Seq("doc_id", "_h"), "left_anti")
+      // Two independently-seeded 64-bit hashes: equality on (_h, _h2) needs
+      // a simultaneous collision of both streams (~2^-128 per doc), making
+      // the "hash-equal but content-differs drops an update" caveat
+      // cryptographically negligible at 24 bytes/row of build side.
+      val cols = newDf.columns.map(col).toIndexedSeq
+      val hash = xxhash64(cols: _*)
+      val hash2 = xxhash64(lit("graft-cdc-seed2") +: cols: _*)
+      val o = oldDf.withColumn("_h", hash).withColumn("_h2", hash2)
+      val n = newDf.withColumn("_h", hash).withColumn("_h2", hash2)
+      val keys = Seq("doc_id", "_h", "_h2")
+      val deletes = o.join(n.select(keys.map(col): _*), keys, "left_anti")
+      val inserts = n.join(o.select(keys.map(col): _*), keys, "left_anti")
       withChangeType(deletes, lit("delete"))
         .unionByName(withChangeType(inserts, lit("insert")))
-        .drop("_h")
+        .drop("_h", "_h2")
     }
   }
 

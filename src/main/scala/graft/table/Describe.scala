@@ -210,4 +210,69 @@ object Describe {
     sb ++= s"${plan.size} to apply, ${done.intersect(graph.byName.keySet).size} applied\n"
     sb.result()
   }
+
+  /** Audit result in the reference's shape (audits/audit.py:10-60): ordered
+    * messages with success/warning/failure counters; a CLI would exit with
+    * `failures.size` like the reference's audit command
+    * (cli/commands/audit_command.py:8-23). */
+  final case class AuditReport(
+      successes: Seq[String], warnings: Seq[String], failures: Seq[String]) {
+    def failureCount: Int = failures.size
+    def render: String =
+      (failures.map("FAIL " + _) ++ warnings.map("WARN " + _) ++
+        successes.map("OK   " + _)).mkString("", "\n", "\n")
+  }
+
+  /** Retention keys the audit recognizes as a declared policy. */
+  val RetentionKeys: Seq[String] =
+    Seq("retention.snapshot.keep-last", "retention.snapshot.max-age-ms")
+
+  /**
+   * Table-state lint — the lakehouse analogue of the reference's TTL audit
+   * (project/audits/audit_ttls.py:24-46: FAIL each object type without a
+   * TTL, WARN each TTL naming an unknown type, success when clean). On a
+   * table the "object type that ages out" is the snapshot log, so:
+   *
+   *  - FAIL when no retention policy property is declared ([[RetentionKeys]])
+   *    — without one, snapshots (and the files they pin) accumulate forever,
+   *    the same unbounded-growth bug the reference's audit exists to catch;
+   *  - FAIL when a declared retention value does not parse as a positive
+   *    long (a policy that silently cannot apply is worse than none);
+   *  - WARN on `retention.*` keys outside the recognized set (the analogue
+   *    of "TTL configured for unknown object type");
+   *  - WARN when the table has files but no sort order and no partition
+   *    spec — every scan is a full scan at 100 TB.
+   */
+  def audit(t: TokenTable): AuditReport = {
+    val m = t.metadata
+    val ok = Seq.newBuilder[String]
+    val warn = Seq.newBuilder[String]
+    val fail = Seq.newBuilder[String]
+
+    val declared = RetentionKeys.flatMap(k => m.properties.get(k).map(k -> _))
+    if (declared.isEmpty)
+      fail += s"retention not configured: set one of ${RetentionKeys.mkString(", ")}"
+    declared.foreach { case (k, v) =>
+      if (scala.util.Try(v.trim.toLong).toOption.exists(_ > 0))
+        ok += s"retention policy $k = $v"
+      else fail += s"retention policy $k = '$v' is not a positive integer"
+    }
+    m.properties.keys.filter(k => k.startsWith("retention.") &&
+        !RetentionKeys.contains(k)).toSeq.sorted
+      .foreach(k => warn += s"retention configured for unknown key '$k'")
+
+    if (m.sortOrder.isEmpty && m.spec.isEmpty && t.liveFiles().nonEmpty)
+      warn += "no sort order and no partition spec: every scan is a full scan"
+    else if (m.sortOrder.nonEmpty || m.spec.nonEmpty)
+      ok += ((if (m.sortOrder.nonEmpty)
+                Seq(s"sort order: ${m.sortOrder.mkString(", ")}") else Seq.empty) ++
+        (if (m.spec.nonEmpty)
+           Seq(s"partition spec: ${m.spec.map(fieldSpec).mkString(", ")}") else Seq.empty))
+        .mkString("; ")
+
+    val report = AuditReport(ok.result(), warn.result(), fail.result())
+    if (report.failureCount == 0 && report.successes.nonEmpty)
+      report.copy(successes = report.successes :+ "all retention policies configured")
+    else report
+  }
 }

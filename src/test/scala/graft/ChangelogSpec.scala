@@ -79,6 +79,25 @@ class ChangelogSpec extends SparkSpec {
       victims.sorted.toSeq)
   }
 
+  test("add-column mid-range keeps CDC continuity: diff in the current schema") {
+    val t = mk(300, 3)
+    val s0 = t.metadata.currentSnapshotId.get
+    t.evolveSchema(Seq(graft.table.AddColumn("quality", "DOUBLE")))
+    // CoW-update 20 rows under the evolved schema (forces the content-diff
+    // path); the 280 untouched rows read quality=null from BOTH snapshots'
+    // files via field-id projection, so they hash equal and stay silent
+    val upd = t.scan(spark).limit(20)
+      .select(col("doc_id"), concat(col("tokens"), array(lit(9))).as("tokens"),
+        (col("n_tok") + 1).as("n_tok"), col("source")).localCheckpoint()
+    Maintenance.mergeInto(spark, t, upd)
+    val ch = Changelog.changesBetween(spark, t, Some(s0))
+    assert(ch.columns.contains("quality"),
+      "changelog must be reported in the current (evolved) schema")
+    assert(types(ch) == Map("delete" -> 20L, "insert" -> 20L))
+    val ins = ch.filter(col(Changelog.ChangeTypeCol) === "insert")
+    assert(ins.filter(col("n_tok") > 0 && col("quality").isNull).count() == 20)
+  }
+
   test("unknown/expired from and inverted ranges fail loudly") {
     val t = mk(100, 1)
     val s0 = t.metadata.currentSnapshotId.get

@@ -111,4 +111,34 @@ class DescribeSpec extends SparkSpec {
     assert(after.contains("[x] s_all"), after)
     assert(after.contains("0 to apply"), after)
   }
+
+  test("audit: missing retention FAILS, unlaid-out table WARNS, clean table passes") {
+    val t = SequenceGen.createTable(spark, tmpDir("describe-audit") + "/tbl", 100, 2)
+    val r0 = Describe.audit(t)
+    assert(r0.failureCount == 1 && r0.failures.head.contains("retention not configured"), r0.render)
+    assert(r0.warnings.exists(_.contains("full scan")), r0.render)
+    assert(r0.render.startsWith("FAIL "), r0.render)
+
+    // unknown retention.* key is the "TTL for unknown object type" analogue
+    t.updateProperties(Map(
+      "retention.snapshot.keep-last" -> "5",
+      "retention.snapshots.keep" -> "7"))
+    val r1 = Describe.audit(t)
+    assert(r1.failureCount == 0, r1.render)
+    assert(r1.warnings.exists(_.contains("unknown key 'retention.snapshots.keep'")), r1.render)
+
+    // unparseable policy fails loudly — a policy that cannot apply is worse than none
+    t.updateProperties(Map("retention.snapshot.keep-last" -> "soon"))
+    assert(Describe.audit(t).failures.exists(_.contains("not a positive integer")))
+
+    // laid-out + valid retention => success summary, zero failures/warnings on layout
+    t.updateProperties(Map("retention.snapshot.keep-last" -> "5"))
+    graft.maintenance.Maintenance.cluster(spark, t,
+      graft.maintenance.ZOrder(Seq("doc_id", "source")))
+    val r2 = Describe.audit(t)
+    assert(r2.failureCount == 0, r2.render)
+    assert(!r2.warnings.exists(_.contains("full scan")), r2.render)
+    assert(r2.successes.exists(_.contains("all retention policies configured")), r2.render)
+    assert(r2.successes.exists(_.contains("sort order")), r2.render)
+  }
 }
