@@ -48,7 +48,13 @@ final case class ClusterStep(layout: Layout, targetFileBytes: Long) extends Pipe
 final case class RewriteManifestsStep(entriesPerManifest: Int) extends PipelineStep {
   def name = "rewrite_manifests"
 }
-final case class ExpireSnapshotsStep(retainLast: Int, olderThanMs: Option[Long]) extends PipelineStep {
+/** Omitted arguments resolve at EXECUTION time from the table's declared
+  * retention policy ([[graft.table.Describe.RetentionKeys]]):
+  * `retain_last` ← `retention.snapshot.keep-last` (else 1), `older_than_ms`
+  * ← now − `retention.snapshot.max-age-ms` — so the policy the audit lints
+  * for is the one the nightly pipeline actually applies. */
+final case class ExpireSnapshotsStep(
+    retainLast: Option[Int], olderThanMs: Option[Long]) extends PipelineStep {
   def name = "expire_snapshots"
 }
 /** `grace_ms` optionally overrides the table's `gc.grace-period-ms` window
@@ -117,6 +123,7 @@ object PipelineDsl {
   private def buildStep(impl: String, args: Map[String, AnyRef]): PipelineStep = {
     def long(k: String, d: Long): Long = args.get(k).map(_.toString.toLong).getOrElse(d)
     def optLong(k: String): Option[Long] = args.get(k).map(_.toString.toLong)
+    def optInt(k: String): Option[Int] = args.get(k).map(_.toString.toInt)
     def int(k: String, d: Int): Int = args.get(k).map(_.toString.toInt).getOrElse(d)
     def str(k: String): String = args(k).toString
     def cols(k: String, d: Seq[String]): Seq[String] = args.get(k) match {
@@ -138,7 +145,7 @@ object PipelineDsl {
       case "sort" => ClusterStep(SortBy(cols("columns", Seq("doc_id"))),
         long("target_file_bytes", Maintenance.DefaultTargetFileBytes))
       case "rewrite_manifests" => RewriteManifestsStep(int("entries_per_manifest", 1000))
-      case "expire_snapshots" => ExpireSnapshotsStep(int("retain_last", 1), optLong("older_than_ms"))
+      case "expire_snapshots" => ExpireSnapshotsStep(optInt("retain_last"), optLong("older_than_ms"))
       case "remove_orphans" => RemoveOrphansStep(optLong("grace_ms"))
       case "delete_where" =>
         if (args.contains("source_in"))
@@ -252,8 +259,14 @@ object PlanOptimizer {
     // manifest regrouping is overwritten by the next data commit
     case (_: RewriteManifestsStep) :: n :: rest if rewritesData(n) =>
       rewriteOnce(n :: rest)
-    case ExpireSnapshotsStep(r1, o1) :: ExpireSnapshotsStep(r2, o2) :: rest =>
-      val merged = ExpireSnapshotsStep(math.min(r1, r2),
+    // adjacent expire runs merge when the retains are comparable at optimize
+    // time: both explicit (min) or both property-defaulted (still one run);
+    // mixed explicit/default stays two steps — the property value is a
+    // table state unknown here, so min() cannot be taken
+    case ExpireSnapshotsStep(r1, o1) :: ExpireSnapshotsStep(r2, o2) :: rest
+        if r1.isDefined == r2.isDefined =>
+      val merged = ExpireSnapshotsStep(
+        for (a <- r1; b <- r2) yield math.min(a, b),
         (o1.toSeq ++ o2.toSeq).maxOption)
       rewriteOnce(merged :: rest)
     // running GC twice == running it once at the smaller grace window;
@@ -296,7 +309,13 @@ object PipelineRunner {
         case ClusterStep(layout, target) =>
           (Maintenance.cluster(spark, table, layout, target), Map.empty)
         case RewriteManifestsStep(n) => (Some(Maintenance.rewriteManifests(table, n)), Map.empty)
-        case ExpireSnapshotsStep(retain, olderThan) =>
+        case ExpireSnapshotsStep(retainOpt, olderThanOpt) =>
+          val props = table.metadata.properties
+          val retain = retainOpt.orElse(
+            props.get("retention.snapshot.keep-last").map(_.trim.toInt)).getOrElse(1)
+          val olderThan = olderThanOpt.orElse(
+            props.get("retention.snapshot.max-age-ms").map(age =>
+              System.currentTimeMillis() - age.trim.toLong))
           val m = table.expireSnapshots(retain, olderThan)
           (None, Map("retained-snapshots" -> m.snapshots.size.toString))
         case RemoveOrphansStep(graceMs) =>

@@ -135,7 +135,7 @@ class InterpretSpec extends SparkSpec {
       """- implementation: expire_snapshots
         |  arguments: { retain_last: !config retain }
         |""".stripMargin, config = Map("retain" -> Integer.valueOf(7)))
-    assert(steps == Seq(graft.plans.ExpireSnapshotsStep(7, None)))
+    assert(steps == Seq(graft.plans.ExpireSnapshotsStep(Some(7), None)))
     val e = intercept[Exception] {
       PipelineDsl.parse(
         "- implementation: expire_snapshots\n  arguments: { retain_last: !config nope }")

@@ -30,7 +30,7 @@ class PipelineDslSpec extends SparkSpec {
     assert(steps.size == 4)
     assert(steps(0) == CompactStep(33554432L, Some(33554432L), 8))
     assert(steps(1) == ClusterStep(ZOrder(Seq("doc_id", "source", "n_tok")), 2097152L))
-    assert(steps(2) == ExpireSnapshotsStep(1, None))
+    assert(steps(2) == ExpireSnapshotsStep(Some(1), None))
     assert(steps(3) == RemoveOrphansStep(Some(0L)))
   }
 
@@ -65,15 +65,15 @@ class PipelineDslSpec extends SparkSpec {
 
   test("optimizer: expire runs merge; orphan runs collapse; schema ops reduce") {
     val plan = PlanOptimizer.optimize(Seq(
-      ExpireSnapshotsStep(3, None),
-      ExpireSnapshotsStep(1, Some(99L)),
+      ExpireSnapshotsStep(Some(3), None),
+      ExpireSnapshotsStep(Some(1), Some(99L)),
       RemoveOrphansStep(Some(60000L)),
       RemoveOrphansStep(Some(0L)),
       SchemaStep(AddColumn("q", "DOUBLE")),
       SchemaStep(RenameColumn("q", "quality")),
       SchemaStep(DropColumn("quality"))))
     // two GC runs == one at the smaller grace window
-    assert(plan == Seq(ExpireSnapshotsStep(1, Some(99L)), RemoveOrphansStep(Some(0L))))
+    assert(plan == Seq(ExpireSnapshotsStep(Some(1), Some(99L)), RemoveOrphansStep(Some(0L))))
   }
 
   test("pipeline end-to-end: yaml -> optimize -> run preserves content") {
@@ -89,6 +89,23 @@ class PipelineDslSpec extends SparkSpec {
     assert(fp() == before)
     assert(results.last.summary("removed").toInt > 0)
     // zorder committed a snapshot and expire left exactly one
+    assert(t.metadata.snapshots.size == 1)
+  }
+
+  test("expire with no args applies the table's declared retention policy") {
+    val root = tmpDir("dsl-retention")
+    val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 200, nFiles = 2)
+    SequenceGen.appendScattered(spark, t, 100, 1, seed = 7)
+    SequenceGen.appendScattered(spark, t, 100, 1, seed = 8)
+    assert(t.metadata.snapshots.size == 3)
+    t.updateProperties(Map("retention.snapshot.keep-last" -> "2"))
+    val r = PipelineRunner.run(spark, t, PipelineDsl.parse(
+      "- implementation: expire_snapshots\n"))
+    assert(r.head.summary("retained-snapshots") == "2", r.head.summary)
+    assert(t.metadata.snapshots.size == 2)
+    // an explicit argument still beats the property
+    PipelineRunner.run(spark, t, PipelineDsl.parse(
+      "- implementation: expire_snapshots\n  arguments: { retain_last: 1 }\n"))
     assert(t.metadata.snapshots.size == 1)
   }
 
