@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
  */
 object AnnOps {
 
-  /** Dot product of two float-array columns (computed in double). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two numeric-array columns (computed in double) — the
+    * native [[graft.functions.DotProduct]] expression; identical value and
+    * null semantics to the columnar reference fold
+    * `aggregate(zip_with(a, b, x*y), 0.0, +)` that the oracle SQL mirrors,
+    * in one JVM loop per row instead of interpreted per-element lambdas. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -232,10 +238,16 @@ object AnnOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val sigs = corpus.select(col(idCol).as("id"), lshSignature(col(vecCol), planes).as("sig"))
+    // The pair list feeds three downstream consumers (the verify join and,
+    // via pairIds, both vector fetches); without a cut Spark re-executes the
+    // candidate-generation join for each — 3x the blocking cost at corpus
+    // scale. localCheckpoint materializes it once; it is the SLIM relation
+    // (two ids/row), bounded by the LSH collision count, never the vectors.
     val pairs = sigs.toDF("id_a", "sig")
       .join(sigs.toDF("id_b", "sig"), Seq("sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val pairIds = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val vecs = corpus
