@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.AnnOps
+
+/** The native DotProduct expression must be value- and null-identical to
+  * the columnar reference fold `aggregate(zip_with(a,b,x*y), 0.0, +)` the
+  * DuckDB oracle mirrors — same summation order, so even float-rounding
+  * artifacts match bit-for-bit. */
+class VectorExprSpec extends SparkSpec {
+
+  private def refDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("native dot equals the columnar fold bit-for-bit on random float vectors") {
+    val df = spark.range(2000).select(
+      col("id"),
+      transform(sequence(lit(0), lit(63)),
+        j => (pmod(col("id") * 37 + j * 11, lit(1999)) / 321.7 - 3.1).cast("float")).as("a"),
+      transform(sequence(lit(0), lit(63)),
+        j => (pmod(col("id") * 53 + j * 7, lit(2003)) / 217.3 - 4.6).cast("float")).as("b"))
+    val bad = df.select(AnnOps.dot(col("a"), col("b")).as("n"), refDot(col("a"), col("b")).as("r"))
+      .filter(col("n") =!= col("r") || col("n").isNull =!= col("r").isNull)
+    assert(bad.count() == 0)
+  }
+
+  test("native dot matches the fold's null semantics: length mismatch and null element") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0F, 2.0F), array(3.0F, 4.0F)),
+        |  (array(1.0F, 2.0F), array(3.0F)),
+        |  (array(1.0F, CAST(NULL AS FLOAT)), array(3.0F, 4.0F)),
+        |  (CAST(NULL AS ARRAY<FLOAT>), array(3.0F, 4.0F))
+        |AS t(a, b)""".stripMargin)
+    val rows = df.select(AnnOps.dot(col("a"), col("b")).as("n"), refDot(col("a"), col("b")).as("r"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), r.toString)
+    }
+    assert(!rows(0).isNullAt(0) && rows(0).getDouble(0) == 11.0)
+    assert(rows.drop(1).forall(_.isNullAt(0)))
+  }
+
+  test("int and double element types dot like their cast-to-double folds") {
+    val df = spark.sql(
+      "SELECT array(1, 2, 3) AS a, array(4.0D, 5.0D, 6.0D) AS b")
+    val r = df.select(AnnOps.dot(col("a"), col("b"))).head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("non-array input fails analysis loudly") {
+    val df = spark.sql("SELECT 1 AS a, array(1.0F) AS b")
+    val e = intercept[Exception](df.select(AnnOps.dot(col("a"), col("b"))).collect())
+    assert(e.getMessage.toLowerCase.contains("numeric arrays") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
+  }
+}
