@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -74,4 +75,118 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Native random-hyperplane LSH signature (see
+ * [[graft.text.AnnOps.lshSignature]] for the integer-math design and the
+ * columnar reference the DuckDB oracle mirrors). One JVM loop computes all
+ * `planes` projections instead of `planes` interpreted
+ * aggregate/zip_with/sequence folds per row — the corpus-scan cost center
+ * of LSH bucketing at corpus scale.
+ *
+ * Exactness vs the columnar form, including its null algebra: a NULL
+ * vector or any NULL element nulls every plane's fold, and each plane's
+ * `when(proj > 0, bit).otherwise(0)` turns that null into 0 — so the
+ * signature is 0L, never NULL. A non-finite element would ANSI-throw in
+ * the columnar `floor(x*1e6)::long` cast; this throws the same class.
+ */
+case class LshSignature(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  require(planes >= 1 && planes <= 62, s"planes out of range: $planes")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lsh_signature"
+
+  private val M = 1000003L
+  @transient private lazy val mulA: Array[Long] =
+    Array.tabulate(planes)(p => (2654435761L * (p + 1)) % M)
+  @transient private lazy val mulB: Array[Long] =
+    Array.tabulate(planes)(p => (179426549L * (p + 1) + 97L) % M)
+
+  /** Plane weights depend only on (plane, element index), so for the
+    * fixed-dim embedding corpora this path scans they are computed once per
+    * task, not once per row (the floorMod per element per plane otherwise
+    * dominates the fold). Single-reference holder: reads/writes are atomic,
+    * a racing task at worst recomputes. */
+  @transient private var weightCache: (Int, Array[Array[Long]]) = _
+  private def planeWeights(n: Int): Array[Array[Long]] = {
+    val c = weightCache
+    if (c != null && c._1 == n) return c._2
+    val half = (M - 1) / 2
+    val w = Array.ofDim[Long](planes, n)
+    var p = 0
+    while (p < planes) {
+      val aa = mulA(p); val bb = mulB(p)
+      var j = 0
+      while (j < n) {
+        val idx = (j + 1).toLong
+        w(p)(j) = java.lang.Math.floorMod(idx * aa + idx * idx * bb, M) - half
+        j += 1
+      }
+      p += 1
+    }
+    weightCache = (n, w)
+    w
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t.isInstanceOf[NumericType] =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a numeric array, got ${other.simpleString}")
+  }
+
+  @transient private lazy val elemType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  private def get(a: ArrayData, i: Int): Double = elemType match {
+    case FloatType   => a.getFloat(i).toDouble
+    case DoubleType  => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType    => a.getLong(i).toDouble
+    case ShortType   => a.getShort(i).toDouble
+    case ByteType    => a.getByte(i).toDouble
+    case other       => sys.error(s"lsh_signature: unsupported element type $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L // null vector -> every plane folds to null -> bit 0
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val vq = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return 0L // null element nulls every fold
+      val d = get(a, i) * 1000000.0
+      if (d.isNaN || d.isInfinite)
+        throw new ArithmeticException(s"lsh_signature: non-finite element $d")
+      vq(i) = math.floor(d).toLong
+      i += 1
+    }
+    val w = planeWeights(n)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val wp = w(p)
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        acc += vq(j) * wp(j)
+        j += 1
+      }
+      if (acc > 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
 }

@@ -65,6 +65,15 @@ object AnnOps {
    * |vq| <= ~1e7 and |component| <= 5e5, so a 4096-dim dot stays < 2^56.
    */
   def lshSignature(vec: Column, planes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.LshSignature(
+      ColumnBridge.expression(vec), planes))
+  }
+
+  /** The columnar reference formulation of [[lshSignature]] — the semantic
+    * spec the native expression and the DuckDB oracle both mirror; kept as
+    * the identity-test witness (VectorExprSpec), not a runtime path. */
+  private[graft] def lshSignatureColumnar(vec: Column, planes: Int): Column = {
     val M = 1000003L // prime modulus of the component hash
     val vq = transform(vec, x => floor(x.cast("double") * 1000000.0).cast("long"))
     (0 until planes).map { p =>

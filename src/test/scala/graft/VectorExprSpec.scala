@@ -51,6 +51,34 @@ class VectorExprSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("native lsh signature equals the columnar reference on random vectors") {
+    val df = spark.range(3000).select(
+      transform(sequence(lit(0), lit(63)),
+        j => (pmod(col("id") * 41 + j * 13, lit(4001)) / 500.0 - 4.0).cast("float")).as("v"))
+    for (planes <- Seq(1, 4, 6, 8)) {
+      val bad = df.select(AnnOps.lshSignature(col("v"), planes).as("n"),
+          AnnOps.lshSignatureColumnar(col("v"), planes).as("r"))
+        .filter(col("n") =!= col("r"))
+      assert(bad.count() == 0, s"planes=$planes")
+    }
+  }
+
+  test("native lsh signature keeps the columnar null algebra: null vec/element -> 0L") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0F, -2.0F, 0.5F)),
+        |  (array(1.0F, CAST(NULL AS FLOAT), 0.5F)),
+        |  (CAST(NULL AS ARRAY<FLOAT>))
+        |AS t(v)""".stripMargin)
+    val rows = df.select(AnnOps.lshSignature(col("v"), 6).as("n"),
+      AnnOps.lshSignatureColumnar(col("v"), 6).as("r")).collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0), "native signature must never be null")
+      assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+    assert(rows(1).getLong(0) == 0L && rows(2).getLong(0) == 0L)
+  }
+
   test("non-array input fails analysis loudly") {
     val df = spark.sql("SELECT 1 AS a, array(1.0F) AS b")
     val e = intercept[Exception](df.select(AnnOps.dot(col("a"), col("b"))).collect())
