@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -11,9 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * reference, shared with the DuckDB oracle and spec-pinned equal). The
  * columnar definition costs ~7 regex/replace passes per row (each stop-word
  * count is a full regexp_replace of the padded text); this expression walks
- * the string once per component in one JVM eval per row, following the
- * pattern of [[WordHashStates]] (VERDICT r3: the same move took
- * ddp_minhash_lsh from 12.4 s to 0.08 s).
+ * the string once per component in one JVM kernel call per row, following
+ * the pattern of [[WordHashStates]] (VERDICT r3: the same move took
+ * ddp_minhash_lsh from 12.4 s to 0.08 s), and generates real code so the
+ * scoring projection stays inside whole-stage codegen.
  *
  * Exactness contract with the columnar form, term by term:
  *  - `length(text)` = UTF8String.numChars (code points);
@@ -30,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
  *    expression the columnar form ends with.
  */
 case class QualityScoreRaw(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
   override def prettyName: String = "quality_score_raw"
@@ -42,10 +44,25 @@ case class QualityScoreRaw(child: Expression)
     * identically, so the oracle agrees. */
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) QualityScoreRaw.NullComposite else compute(v.asInstanceOf[UTF8String])
+    if (v == null) QualityScoreRaw.NullComposite else scoreOf(v.asInstanceOf[UTF8String])
   }
 
-  private def compute(u: UTF8String): Double = {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("qualityScore", this, "graft.functions.QualityScoreRaw")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        double ${ev.value} = ${c.isNull} ? $ref.nullScore() : $ref.scoreOf(${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  /** The null-text composite (see eval doc) — exposed for generated code. */
+  def nullScore(): Double = QualityScoreRaw.NullComposite
+
+  /** The one kernel both eval and generated code call. */
+  def scoreOf(u: UTF8String): Double = {
     val s = u.toString
     val len = u.numChars()
 

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,7 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * Catalyst interprets higher-order-function lambdas — one expression-tree
  * walk per character is the measured cost center of MinHash/SimHash/
  * fingerprinting at corpus scale. These expressions compute the identical
- * values in a tight JVM loop (one `eval` call per row).
+ * values in a tight JVM loop, and generate real code — the corpus-scan
+ * projection stays inside whole-stage codegen (interpreted eval and the
+ * generated call share one kernel method, so the paths cannot diverge).
  *
  * Exactness contract (pinned by DedupSpec's identity tests over nasty
  * strings): Spark's `trim` strips ASCII spaces only → `UTF8String.trim`;
@@ -77,12 +79,13 @@ object TextHash {
   * `transform(split(lower(trim(text)), "\\s+"), polyHash2Pow)`. Word order
   * and duplicates preserved (MinHash consumes these positionally). */
 case class WordHashStates(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(TextHash.stateType, containsNull = false)
   override def prettyName: String = "word_hash_states"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val ws = TextHash.words(input.asInstanceOf[UTF8String])
+  /** The one kernel both eval and generated code call. */
+  def statesOf(u: UTF8String): GenericArrayData = {
+    val ws = TextHash.words(u)
     val out = new Array[Any](ws.length)
     var i = 0
     while (i < ws.length) {
@@ -91,6 +94,14 @@ case class WordHashStates(child: Expression)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    statesOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordHashStates", this, "graft.functions.WordHashStates")
+    defineCodeGen(ctx, ev, c => s"$ref.statesOf($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordHashStates =
@@ -102,12 +113,13 @@ case class WordHashStates(child: Expression)
   * distinct by word string: two distinct words that hash-collide keep both
   * entries, exactly like the columnar/oracle definition). */
 case class WordSetHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(TextHash.pairType, containsNull = false)
   override def prettyName: String = "word_set_hashes"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val ws = TextHash.words(input.asInstanceOf[UTF8String])
+  /** The one kernel both eval and generated code call. */
+  def setHashesOf(u: UTF8String): GenericArrayData = {
+    val ws = TextHash.words(u)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i < ws.length) {
@@ -123,6 +135,14 @@ case class WordSetHashes(child: Expression)
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    setHashesOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSetHashes", this, "graft.functions.WordSetHashes")
+    defineCodeGen(ctx, ev, c => s"$ref.setHashesOf($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordSetHashes =
@@ -143,16 +163,16 @@ case class WordSetHashes(child: Expression)
   * `sequence(0, greatest(size-n, 0))` + short `slice`), identical mod-p
   * arithmetic (all operands non-negative, so `%` equals `pmod`). */
 case class ShingleMinHashes(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   // k is only a loop bound (O(windows·k) work, k longs of state) — no
   // packing ties it to 64; the generous cap just guards absurd signatures
   require(n >= 1 && k >= 1 && k <= 4096, "shingle n >= 1, 1 <= k <= 4096")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_min_hashes"
 
-  protected override def nullSafeEval(input: Any): Any = {
+  /** The one kernel both eval and generated code call. */
+  def minHashesOf(arr: ArrayData): GenericArrayData = {
     import TextHash.{P1, P2}
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val size = arr.numElements()
     val h1 = new Array[Long](size); val h2 = new Array[Long](size)
     val p1 = new Array[Long](size); val p2 = new Array[Long](size)
@@ -192,6 +212,14 @@ case class ShingleMinHashes(child: Expression, n: Int, k: Int)
     new GenericArrayData(mins)
   }
 
+  protected override def nullSafeEval(input: Any): Any =
+    minHashesOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleMinHashes", this, "graft.functions.ShingleMinHashes")
+    defineCodeGen(ctx, ev, c => s"$ref.minHashesOf($c)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): ShingleMinHashes =
     copy(child = newChild)
 }
@@ -200,13 +228,21 @@ case class ShingleMinHashes(child: Expression, n: Int, k: Int)
   * [[graft.text.TextOps.polyHash]] (and of `fingerprint64` at base 131 mod
   * p1). */
 case class CharPolyHash(child: Expression, base: Long, mod: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(base > 0 && mod > 1 && mod < (1L << 31), "base/mod out of overflow-safe range")
   override def dataType: DataType = LongType
   override def prettyName: String = "char_poly_hash"
 
+  /** The one kernel both eval and generated code call. */
+  def hashOf(u: UTF8String): Long = TextHash.polyHash(u, base, mod)
+
   protected override def nullSafeEval(input: Any): Any =
-    TextHash.polyHash(input.asInstanceOf[UTF8String], base, mod)
+    hashOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charPolyHash", this, "graft.functions.CharPolyHash")
+    defineCodeGen(ctx, ev, c => s"$ref.hashOf($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): CharPolyHash =
     copy(child = newChild)

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -15,16 +16,22 @@ import org.apache.spark.sql.types._
  * center of embedding dedup and ANN scoring. This computes the identical
  * value (left-to-right double summation over ascending indexes, the
  * aggregate fold's order, so rounded-to-6dp oracle outputs cannot move) in
- * one tight JVM loop per row.
+ * one tight JVM loop per row, and generates real code — the projection
+ * stays inside whole-stage codegen (a CodegenFallback would box an
+ * InternalRow per row on the corpus-scan path). Interpreted eval and the
+ * generated call share [[dotInto]], so the two paths cannot diverge.
  *
  * zip_with semantics preserved exactly: mismatched lengths pad the shorter
  * side with null, and `acc + null` nulls the whole fold — so any length
- * mismatch or null element yields null, like the columnar form.
+ * mismatch or null element yields null, like the columnar form. That also
+ * means the result is nullable EVEN IF both inputs are non-nullable
+ * (lengths are data, not schema), hence the unconditional nullable=true.
  */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   private def elemType(e: Expression): DataType =
@@ -57,19 +64,48 @@ case class DotProduct(left: Expression, right: Expression)
     case other       => sys.error(s"vec_dot: unsupported element type $other")
   }
 
-  protected override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    if (a.numElements() != b.numElements()) return null
+  /** The one kernel both eval and generated code call. Writes the dot into
+    * `out(0)` and returns true, or returns false when the fold is null
+    * (length mismatch or null element). Caller owns the scratch buffer —
+    * the generated class holds one per operator instance, so the hot path
+    * allocates nothing per row. */
+  def dotInto(a: ArrayData, b: ArrayData, out: Array[Double]): Boolean = {
     val n = a.numElements()
+    if (n != b.numElements()) return false
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
       acc += get(a, i, leftType) * get(b, i, rightType)
       i += 1
     }
-    acc
+    out(0) = acc
+    true
+  }
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val out = new Array[Double](1)
+    if (dotInto(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], out)) out(0)
+    else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val ref = ctx.addReferenceObj("dotExpr", this, "graft.functions.DotProduct")
+    val buf = ctx.addMutableState("double[]", "dotBuf", v => s"$v = new double[1];")
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${l.isNull} && !${r.isNull} && $ref.dotInto(
+          (org.apache.spark.sql.catalyst.util.ArrayData) ${l.value},
+          (org.apache.spark.sql.catalyst.util.ArrayData) ${r.value}, $buf)) {
+        ${ev.isNull} = false;
+        ${ev.value} = $buf[0];
+      }
+    """)
   }
 
   override protected def withNewChildrenInternal(
@@ -83,7 +119,9 @@ case class DotProduct(left: Expression, right: Expression)
  * columnar reference the DuckDB oracle mirrors). One JVM loop computes all
  * `planes` projections instead of `planes` interpreted
  * aggregate/zip_with/sequence folds per row — the corpus-scan cost center
- * of LSH bucketing at corpus scale.
+ * of LSH bucketing at corpus scale. Generates real code (the bucketing
+ * projection stays inside whole-stage codegen); interpreted eval and the
+ * generated call share [[sigOf]], so the two paths cannot diverge.
  *
  * Exactness vs the columnar form, including its null algebra: a NULL
  * vector or any NULL element nulls every plane's fold, and each plane's
@@ -92,8 +130,7 @@ case class DotProduct(left: Expression, right: Expression)
  * the columnar `floor(x*1e6)::long` cast; this throws the same class.
  */
 case class LshSignature(child: Expression, planes: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(planes >= 1 && planes <= 62, s"planes out of range: $planes")
 
@@ -155,10 +192,9 @@ case class LshSignature(child: Expression, planes: Int)
     case other       => sys.error(s"lsh_signature: unsupported element type $other")
   }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return 0L // null vector -> every plane folds to null -> bit 0
-    val a = v.asInstanceOf[ArrayData]
+  /** The one kernel both eval and generated code call (null vector handled
+    * by the caller — a null child evaluates to signature 0L). */
+  def sigOf(a: ArrayData): Long = {
     val n = a.numElements()
     val vq = new Array[Long](n)
     var i = 0
@@ -185,6 +221,24 @@ case class LshSignature(child: Expression, planes: Int)
       p += 1
     }
     sig
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L // null vector -> every plane folds to null -> bit 0
+    else sigOf(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("lshExpr", this, "graft.functions.LshSignature")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = ${c.isNull} ? 0L : $ref.sigOf(
+          (org.apache.spark.sql.catalyst.util.ArrayData) ${c.value});
+      """,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshSignature =

@@ -49,7 +49,7 @@ class CurationSpec extends SparkSpec {
     assert(got == ref && got.nonEmpty && got.size < 2000)
   }
 
-  test("native quality score == columnar reference, bit for bit, on nasty strings") {
+  private def assertQualityIdentity(): Unit = {
     import graft.text.TextOps
     // every branch of the definition: empty, whitespace-only (gated word
     // count), leading tab (trim strips ASCII spaces only, \s+ split yields a
@@ -76,6 +76,14 @@ class CurationSpec extends SparkSpec {
           java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
           s"quality mismatch on '$s': native=${r.getDouble(0)} columnar=${r.getDouble(1)}")
     }
+  }
+
+  test("native quality score == columnar reference, bit for bit, on nasty strings") {
+    assertQualityIdentity()
+  }
+
+  test("quality score generates real code: CODEGEN_ONLY runs and matches") {
+    withCodegenOnly { assertQualityIdentity() }
   }
 
   test("prefix-sum outputs survive a downstream coalesce(1)") {

@@ -89,6 +89,35 @@ class DedupSpec extends SparkSpec {
     assert(empty._2 == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("text-hash expressions generate real code: CODEGEN_ONLY runs and matches") {
+    // Forced-codegen re-run of the identity checks: a doGenCode that fails
+    // to compile aborts here instead of silently falling back to eval.
+    withCodegenOnly {
+      val states = nastyCorpus.select(col("doc_id"),
+        DedupOps.wordHashStates(col("text")).as("h"))
+      val statesRef = nastyCorpus.select(col("doc_id"),
+        DedupOps.wordHashStatesColumnar(col("text")).as("h2"))
+      assert(states.join(statesRef, Seq("doc_id"))
+        .filter(!(col("h") <=> col("h2"))).isEmpty, "WordHashStates codegen diverges")
+      val sim = DedupOps.simHashed(nastyCorpus).as[(Long, Long)].collect().toSet
+      val simRef = nastyCorpus.select(col("doc_id"),
+        DedupOps.simHash(col("text")).as("simhash")).as[(Long, Long)].collect().toSet
+      assert(sim == simRef, "WordSetHashes codegen diverges")
+      val fp = nastyCorpus.select(col("doc_id"),
+        TextOps.fingerprint64(col("text")).as("f"),
+        TextOps.polyHash(col("text"), 131, TextOps.HashMod1).as("f2"))
+      assert(fp.filter(!(col("f") <=> col("f2"))).isEmpty, "CharPolyHash codegen diverges")
+      val native = nastyCorpus
+        .select(col("doc_id"), DedupOps.wordHashStates(col("text")).as("_ws"))
+        .select(col("doc_id"), DedupOps.shingleMinHashes(col("_ws"), 3, 12).as("mh"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val columnar = DedupOps.shingleHashed(nastyCorpus, 3)
+        .select(col("id") +: DedupOps.minHashes(col("hp"), 12): _*)
+        .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getLong)).toMap
+      assert(native == columnar, "ShingleMinHashes codegen diverges")
+    }
+  }
+
   test("shingleHashed == polyHash2 over shingle strings (composition identity)") {
     for (n <- Seq(1, 2, 3, 4)) {
       val viaStrings = corpus.select(

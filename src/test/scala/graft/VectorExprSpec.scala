@@ -79,6 +79,32 @@ class VectorExprSpec extends SparkSpec {
     assert(rows(1).getLong(0) == 0L && rows(2).getLong(0) == 0L)
   }
 
+  test("dot and lsh signature generate real code: CODEGEN_ONLY runs and matches") {
+    // CODEGEN_ONLY makes projection codegen mandatory — a doGenCode that
+    // fails to compile (or an expression that silently fell back) aborts
+    // the query instead of degrading to interpreted eval. Identity vs the
+    // columnar references re-asserted in this mode, plus the nullable
+    // contract: a length-mismatched dot must come back null even though
+    // the generated projection claims non-null inputs.
+    withCodegenOnly {
+      val df = spark.range(500).select(
+        col("id"),
+        transform(sequence(lit(0), lit(31)),
+          j => (pmod(col("id") * 37 + j * 11, lit(1999)) / 321.7 - 3.1).cast("float")).as("a"),
+        transform(sequence(lit(0), lit(31)),
+          j => (pmod(col("id") * 53 + j * 7, lit(2003)) / 217.3 - 4.6).cast("float")).as("b"))
+      val bad = df.select(
+          AnnOps.dot(col("a"), col("b")).as("nd"), refDot(col("a"), col("b")).as("rd"),
+          AnnOps.lshSignature(col("a"), 8).as("ns"),
+          AnnOps.lshSignatureColumnar(col("a"), 8).as("rs"))
+        .filter(col("nd") =!= col("rd") || col("ns") =!= col("rs"))
+      assert(bad.count() == 0)
+      val mismatch = spark.sql("SELECT array(1.0F, 2.0F) AS a, array(3.0F) AS b")
+        .select(AnnOps.dot(col("a"), col("b")).as("d")).collect()
+      assert(mismatch(0).isNullAt(0), "length mismatch must be null under codegen")
+    }
+  }
+
   test("non-array input fails analysis loudly") {
     val df = spark.sql("SELECT 1 AS a, array(1.0F) AS b")
     val e = intercept[Exception](df.select(AnnOps.dot(col("a"), col("b"))).collect())
