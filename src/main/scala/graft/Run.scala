@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.SparkConf
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.{PipelineDsl, PipelineRunner}
+import graft.table.{Describe, MigrationGraph, Migrator, TokenTable}
+
+/**
+ * spark-submit entry point — the engine's analogue of the reference CLI's
+ * `nodestream run <pipeline> [--annotations ...] [--json] [--auto-migrate]`
+ * (reference nodestream/cli/commands/run.py:21-67, shared option surface at
+ * cli/commands/shared_options.py): a declarative YAML maintenance pipeline
+ * runs against a token table with load-time annotation filtering, optional
+ * pending-migration execution first (run.py's --auto-migrate), per-step
+ * progress lines (JSON with --json, run.py's JSON_OPTION), and an optional
+ * post-run audit report (the audit command, cli/commands/audit_command.py).
+ *
+ *   spark-submit --class graft.Run nodestreamspark_2.13-0.1.0.jar \
+ *     pipeline.yaml --table /data/tbl [--create] [--annotations a,b] \
+ *     [--config k=v]... [--auto-migrate migrations/] [--audit] [--json]
+ *
+ * Master and executor conf come from spark-submit and are respected;
+ * local[*] and shuffle=32 apply only as fallbacks for bare-JVM launches,
+ * so the same command line runs unchanged on a 1000-executor cluster.
+ * Exit codes: 0 success, 1 usage/pipeline failure, 3 audit failures
+ * (mirroring the audit command's count-as-exit-status contract).
+ */
+object Run {
+
+  final case class Args(
+      pipeline: String,
+      table: String,
+      create: Boolean = false,
+      annotations: Option[Set[String]] = None,
+      config: Map[String, AnyRef] = Map.empty,
+      autoMigrate: Option[String] = None,
+      audit: Boolean = false,
+      json: Boolean = false)
+
+  private val usage =
+    """usage: graft.Run <pipeline.yaml> --table <root>
+      |  [--create] [--annotations a,b] [--config k=v]...
+      |  [--auto-migrate <migrations-dir>] [--audit] [--json]""".stripMargin
+
+  private[graft] def parseArgs(argv: Array[String]): Args = {
+    require(argv.nonEmpty, usage)
+    var a = Args(pipeline = argv(0), table = null)
+    var i = 1
+    while (i < argv.length) {
+      argv(i) match {
+        case "--table"        => a = a.copy(table = argv(i + 1)); i += 2
+        case "--create"       => a = a.copy(create = true); i += 1
+        case "--annotations"  =>
+          a = a.copy(annotations = Some(argv(i + 1).split(",").map(_.trim).toSet)); i += 2
+        case "--config"       =>
+          val kv = argv(i + 1).split("=", 2)
+          require(kv.length == 2, s"--config expects k=v, got '${argv(i + 1)}'")
+          a = a.copy(config = a.config + (kv(0) -> kv(1))); i += 2
+        case "--auto-migrate" => a = a.copy(autoMigrate = Some(argv(i + 1))); i += 2
+        case "--audit"        => a = a.copy(audit = true); i += 1
+        case "--json"         => a = a.copy(json = true); i += 1
+        case other            => sys.error(s"unknown option '$other'\n$usage")
+      }
+    }
+    require(a.table != null, s"--table is required\n$usage")
+    a
+  }
+
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+
+  private def renderStep(r: PipelineRunner.StepResult, json: Boolean): String =
+    if (json) {
+      val summary = r.summary.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString("{", ",", "}")
+      s"""{"step":${jsonStr(r.step)},"duration_ms":${r.durationMs},""" +
+        s""""snapshot_id":${r.snapshotId.map(_.toString).getOrElse("null")},""" +
+        s""""summary":$summary}"""
+    } else {
+      val snap = r.snapshotId.map(id => s" snapshot=$id").getOrElse("")
+      val extra = if (r.summary.isEmpty) ""
+        else r.summary.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+          .mkString(" [", ", ", "]")
+      f"step ${r.step}%-20s ${r.durationMs}%6d ms$snap$extra"
+    }
+
+  /** The runnable body, separated from main so tests drive it in-process
+    * (no System.exit) against an existing session. Returns the audit
+    * failure count (0 when --audit is off). */
+  private[graft] def execute(spark: SparkSession, a: Args): Int = {
+    val table =
+      if (TokenTable.exists(spark, a.table)) TokenTable.load(spark, a.table)
+      else if (a.create) TokenTable.create(spark, a.table)
+      else sys.error(s"no table at ${a.table} (pass --create to initialize)")
+
+    a.autoMigrate.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val graph = MigrationGraph.fromDirectory(
+        p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+      val applied = Migrator.migrate(table, graph)
+      applied.foreach(m => println(s"migrated ${m.name}"))
+    }
+
+    val steps = PipelineDsl.parseFile(a.pipeline, a.annotations, a.config)
+    val results = PipelineRunner.run(spark, table, steps)
+    results.foreach(r => println(renderStep(r, a.json)))
+
+    if (a.audit) {
+      table.refresh()
+      val report = Describe.audit(table)
+      print(report.render)
+      report.failureCount
+    } else 0
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = try parseArgs(argv) catch {
+      case e: Throwable => System.err.println(e.getMessage); sys.exit(1)
+    }
+    // spark-submit populates spark.master in the conf; only a bare JVM
+    // launch (sbt runMain, IDE) falls back to local[*] + shuffle 32.
+    val submitted = new SparkConf(true).contains("spark.master")
+    val builder = SparkSession.builder().appName("graft-run")
+    val spark =
+      (if (submitted) builder
+       else builder.master("local[*]").config("spark.sql.shuffle.partitions", "32"))
+        .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val auditFailures = try execute(spark, a) catch {
+      case e: Throwable =>
+        System.err.println(s"pipeline failed: ${e.getMessage}")
+        spark.stop(); sys.exit(1)
+    }
+    spark.stop()
+    if (auditFailures > 0) sys.exit(3)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.SequenceGen
+import graft.table.{AddColumn, Migration, TokenTable}
+
+/** The spark-submit CLI surface (graft.Run): YAML pipeline parse → run
+  * against a table root, with the reference run-command's option semantics
+  * (annotations filtering, !config resolution, auto-migrate, audit exit
+  * count — cli/commands/run.py). Driven in-process via Run.execute. */
+class RunSpec extends SparkSpec {
+
+  private def write(path: String, text: String): String = {
+    Files.write(Paths.get(path), text.getBytes(StandardCharsets.UTF_8))
+    path
+  }
+
+  test("parseArgs: full option surface and required table") {
+    val a = Run.parseArgs(Array("p.yaml", "--table", "/t", "--create",
+      "--annotations", "nightly,weekly", "--config", "retain=3",
+      "--auto-migrate", "migs/", "--audit", "--json"))
+    assert(a == Run.Args("p.yaml", "/t", create = true,
+      annotations = Some(Set("nightly", "weekly")),
+      config = Map("retain" -> "3"), autoMigrate = Some("migs/"),
+      audit = true, json = true))
+    intercept[Exception](Run.parseArgs(Array("p.yaml")))
+    intercept[Exception](Run.parseArgs(Array("p.yaml", "--table", "/t", "--bogus")))
+  }
+
+  test("run: create, maintenance pipeline with annotations + !config, content preserved") {
+    val root = tmpDir("runspec") + "/tbl"
+    val t0 = SequenceGen.createTable(spark, root, 2000, 16)
+    val before = t0.scan(spark)
+      .agg(bit_xor(xxhash64(col("doc_id"), col("tokens")))).first.getLong(0)
+    val nFilesBefore = t0.liveFiles(t0.metadata).size
+
+    val yaml = write(tmpDir("runspec") + "/p.yaml",
+      """- implementation: compact
+        |  arguments: { target_file_bytes: 67108864 }
+        |- implementation: zorder
+        |  arguments: { columns: [doc_id, source, n_tok] }
+        |- implementation: expire_snapshots
+        |  arguments: { retain_last: !config retain }
+        |- implementation: remove_orphans
+        |  arguments: { grace_ms: 0 }
+        |  annotations: [nightly]
+        |- implementation: rollback
+        |  arguments: { snapshot_id: 0 }
+        |  annotations: [never]
+        |""".stripMargin)
+
+    // 'nightly' targeted -> remove_orphans runs, 'never'-annotated rollback skipped
+    val failures = Run.execute(spark, Run.Args(yaml, root,
+      annotations = Some(Set("nightly")), config = Map("retain" -> "1")))
+    assert(failures == 0)
+
+    val t = TokenTable.load(spark, root)
+    val after = t.scan(spark)
+      .agg(bit_xor(xxhash64(col("doc_id"), col("tokens")))).first.getLong(0)
+    assert(after == before, "pipeline changed table content")
+    assert(t.liveFiles(t.metadata).size < nFilesBefore, "compaction did not reduce files")
+    assert(t.metadata.snapshots.size == 1, "expire retain_last=1 (!config) not applied")
+    assert(t.metadata.sortOrder.nonEmpty, "zorder did not declare a sort order")
+  }
+
+  test("run: --auto-migrate applies pending migrations before the pipeline") {
+    val root = tmpDir("runspec-mig") + "/tbl"
+    SequenceGen.createTable(spark, root, 200, 4)
+    val migDir = tmpDir("runspec-mig") + "/migrations"
+    val t = TokenTable.load(spark, root)
+    Migration("m1_add_quality", Seq(AddColumn("quality", "DOUBLE")), Nil)
+      .writeToDirectory(t.fs, new org.apache.hadoop.fs.Path(migDir))
+    val yaml = write(tmpDir("runspec-mig") + "/p.yaml",
+      "- implementation: compact\n")
+    Run.execute(spark, Run.Args(yaml, root, autoMigrate = Some(migDir)))
+    t.refresh()
+    assert(t.schema.fieldNames.contains("quality"), "migration not applied")
+  }
+
+  test("run: --audit returns the failure count; a retention policy clears it") {
+    val root = tmpDir("runspec-audit") + "/tbl"
+    SequenceGen.createTable(spark, root, 200, 4)
+    val yaml = write(tmpDir("runspec-audit") + "/p.yaml",
+      "- implementation: compact\n")
+    // no retention configured -> audit fails
+    assert(Run.execute(spark, Run.Args(yaml, root, audit = true)) > 0)
+    // configure retention -> audit failure drops
+    val t = TokenTable.load(spark, root)
+    t.updateProperties(Map("retention.snapshot.keep-last" -> "2"))
+    assert(Run.execute(spark, Run.Args(yaml, root, audit = true)) == 0)
+  }
+
+  test("run: missing table without --create fails loudly") {
+    val yaml = write(tmpDir("runspec-miss") + "/p.yaml", "- implementation: compact\n")
+    val e = intercept[Exception](
+      Run.execute(spark, Run.Args(yaml, tmpDir("runspec-miss") + "/none")))
+    assert(e.getMessage.contains("--create"))
+  }
+}
