@@ -20,6 +20,15 @@ import graft.table.{Describe, MigrationGraph, Migrator, TokenTable}
  *     pipeline.yaml --table /data/tbl [--create] [--annotations a,b] \
  *     [--config k=v]... [--auto-migrate migrations/] [--audit] [--json]
  *
+ * Subcommands beyond `run` (the default when the first argument is a YAML
+ * path) mirror the reference's sibling commands:
+ *
+ *   graft.Run schema --table /data/tbl [--format plain|ddl|graphql|cypher]
+ *     [--out file]        # print-schema command, print_schema.py:10-50
+ *   graft.Run audit --table /data/tbl   # audit command, exit = failure count
+ *   graft.Run history --table /data/tbl     # snapshot log (`show`-style)
+ *   graft.Run partitions --table /data/tbl  # partition spec + live tuples
+ *
  * Master and executor conf come from spark-submit and are respected;
  * local[*] and shuffle=32 apply only as fallbacks for bare-JVM launches,
  * so the same command line runs unchanged on a 1000-executor cluster.
@@ -29,6 +38,7 @@ import graft.table.{Describe, MigrationGraph, Migrator, TokenTable}
 object Run {
 
   final case class Args(
+      command: String,
       pipeline: String,
       table: String,
       create: Boolean = false,
@@ -36,16 +46,24 @@ object Run {
       config: Map[String, AnyRef] = Map.empty,
       autoMigrate: Option[String] = None,
       audit: Boolean = false,
-      json: Boolean = false)
+      json: Boolean = false,
+      format: String = "plain",
+      out: Option[String] = None)
+
+  private val Subcommands = Set("schema", "audit", "history", "partitions")
 
   private val usage =
     """usage: graft.Run <pipeline.yaml> --table <root>
-      |  [--create] [--annotations a,b] [--config k=v]...
-      |  [--auto-migrate <migrations-dir>] [--audit] [--json]""".stripMargin
+      |         [--create] [--annotations a,b] [--config k=v]...
+      |         [--auto-migrate <migrations-dir>] [--audit] [--json]
+      |   or: graft.Run schema --table <root> [--format plain|ddl|graphql|cypher] [--out file]
+      |   or: graft.Run audit|history|partitions --table <root>""".stripMargin
 
   private[graft] def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty, usage)
-    var a = Args(pipeline = argv(0), table = null)
+    var a =
+      if (Subcommands.contains(argv(0))) Args(command = argv(0), pipeline = null, table = null)
+      else Args(command = "run", pipeline = argv(0), table = null)
     var i = 1
     while (i < argv.length) {
       argv(i) match {
@@ -60,6 +78,8 @@ object Run {
         case "--auto-migrate" => a = a.copy(autoMigrate = Some(argv(i + 1))); i += 2
         case "--audit"        => a = a.copy(audit = true); i += 1
         case "--json"         => a = a.copy(json = true); i += 1
+        case "--format"       => a = a.copy(format = argv(i + 1)); i += 2
+        case "--out"          => a = a.copy(out = Some(argv(i + 1))); i += 2
         case other            => sys.error(s"unknown option '$other'\n$usage")
       }
     }
@@ -94,12 +114,39 @@ object Run {
 
   /** The runnable body, separated from main so tests drive it in-process
     * (no System.exit) against an existing session. Returns the audit
-    * failure count (0 when --audit is off). */
+    * failure count (0 when no audit ran). */
   private[graft] def execute(spark: SparkSession, a: Args): Int = {
     val table =
       if (TokenTable.exists(spark, a.table)) TokenTable.load(spark, a.table)
-      else if (a.create) TokenTable.create(spark, a.table)
-      else sys.error(s"no table at ${a.table} (pass --create to initialize)")
+      else if (a.create && a.command == "run") TokenTable.create(spark, a.table)
+      else sys.error(s"no table at ${a.table}" +
+        (if (a.command == "run") " (pass --create to initialize)" else ""))
+
+    a.command match {
+      case "schema" =>
+        val text = a.format match {
+          case "plain"   => Describe.schema(table)
+          case "ddl"     => Describe.schemaDdl(table)
+          case "graphql" => Describe.schemaGraphql(table)
+          case "cypher"  => Describe.schemaCypher(table)
+          case f         => sys.error(s"unknown schema format '$f' (plain|ddl|graphql|cypher)")
+        }
+        a.out match {
+          case Some(p) => java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)); ()
+          case None    => print(text)
+        }
+        return 0
+      case "audit" =>
+        val report = Describe.audit(table)
+        print(report.render)
+        return report.failureCount
+      case "history" =>
+        print(Describe.history(table)); return 0
+      case "partitions" =>
+        print(Describe.partitions(table)); return 0
+      case _ => () // "run" falls through to the pipeline path
+    }
 
     a.autoMigrate.foreach { dir =>
       val p = new org.apache.hadoop.fs.Path(dir)

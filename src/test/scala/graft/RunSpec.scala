@@ -19,14 +19,16 @@ class RunSpec extends SparkSpec {
     path
   }
 
-  test("parseArgs: full option surface and required table") {
+  test("parseArgs: full option surface, subcommands, required table") {
     val a = Run.parseArgs(Array("p.yaml", "--table", "/t", "--create",
       "--annotations", "nightly,weekly", "--config", "retain=3",
       "--auto-migrate", "migs/", "--audit", "--json"))
-    assert(a == Run.Args("p.yaml", "/t", create = true,
+    assert(a == Run.Args("run", "p.yaml", "/t", create = true,
       annotations = Some(Set("nightly", "weekly")),
       config = Map("retain" -> "3"), autoMigrate = Some("migs/"),
       audit = true, json = true))
+    val s = Run.parseArgs(Array("schema", "--table", "/t", "--format", "graphql"))
+    assert(s.command == "schema" && s.format == "graphql" && s.pipeline == null)
     intercept[Exception](Run.parseArgs(Array("p.yaml")))
     intercept[Exception](Run.parseArgs(Array("p.yaml", "--table", "/t", "--bogus")))
   }
@@ -54,7 +56,7 @@ class RunSpec extends SparkSpec {
         |""".stripMargin)
 
     // 'nightly' targeted -> remove_orphans runs, 'never'-annotated rollback skipped
-    val failures = Run.execute(spark, Run.Args(yaml, root,
+    val failures = Run.execute(spark, Run.Args("run", yaml, root,
       annotations = Some(Set("nightly")), config = Map("retain" -> "1")))
     assert(failures == 0)
 
@@ -76,7 +78,7 @@ class RunSpec extends SparkSpec {
       .writeToDirectory(t.fs, new org.apache.hadoop.fs.Path(migDir))
     val yaml = write(tmpDir("runspec-mig") + "/p.yaml",
       "- implementation: compact\n")
-    Run.execute(spark, Run.Args(yaml, root, autoMigrate = Some(migDir)))
+    Run.execute(spark, Run.Args("run", yaml, root, autoMigrate = Some(migDir)))
     t.refresh()
     assert(t.schema.fieldNames.contains("quality"), "migration not applied")
   }
@@ -87,17 +89,42 @@ class RunSpec extends SparkSpec {
     val yaml = write(tmpDir("runspec-audit") + "/p.yaml",
       "- implementation: compact\n")
     // no retention configured -> audit fails
-    assert(Run.execute(spark, Run.Args(yaml, root, audit = true)) > 0)
+    assert(Run.execute(spark, Run.Args("run", yaml, root, audit = true)) > 0)
     // configure retention -> audit failure drops
     val t = TokenTable.load(spark, root)
     t.updateProperties(Map("retention.snapshot.keep-last" -> "2"))
-    assert(Run.execute(spark, Run.Args(yaml, root, audit = true)) == 0)
+    assert(Run.execute(spark, Run.Args("run", yaml, root, audit = true)) == 0)
+  }
+
+  test("subcommands: schema formats (stdout and --out), audit count, history") {
+    val base = tmpDir("runspec-sub")
+    val root = base + "/tbl"
+    SequenceGen.createTable(spark, root, 100, 2)
+
+    val outFile = base + "/schema.graphql"
+    assert(Run.execute(spark, Run.Args("schema", null, root,
+      format = "graphql", out = Some(outFile))) == 0)
+    val gql = new String(Files.readAllBytes(Paths.get(outFile)), StandardCharsets.UTF_8)
+    assert(gql.contains("type") && gql.contains("doc_id"), gql)
+    for (f <- Seq("plain", "ddl", "cypher"))
+      assert(Run.execute(spark, Run.Args("schema", null, root, format = f)) == 0)
+    intercept[Exception](
+      Run.execute(spark, Run.Args("schema", null, root, format = "bogus")))
+
+    // standalone audit: fresh table has no retention -> nonzero count
+    assert(Run.execute(spark, Run.Args("audit", null, root)) > 0)
+    assert(Run.execute(spark, Run.Args("history", null, root)) == 0)
+    assert(Run.execute(spark, Run.Args("partitions", null, root)) == 0)
+
+    // subcommands never auto-create
+    intercept[Exception](
+      Run.execute(spark, Run.Args("schema", null, base + "/none", create = true)))
   }
 
   test("run: missing table without --create fails loudly") {
     val yaml = write(tmpDir("runspec-miss") + "/p.yaml", "- implementation: compact\n")
     val e = intercept[Exception](
-      Run.execute(spark, Run.Args(yaml, tmpDir("runspec-miss") + "/none")))
+      Run.execute(spark, Run.Args("run", yaml, tmpDir("runspec-miss") + "/none")))
     assert(e.getMessage.contains("--create"))
   }
 }
