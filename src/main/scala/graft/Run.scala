@@ -28,6 +28,9 @@ import graft.table.{Describe, MigrationGraph, Migrator, TokenTable}
  *   graft.Run audit --table /data/tbl   # audit command, exit = failure count
  *   graft.Run history --table /data/tbl     # snapshot log (`show`-style)
  *   graft.Run partitions --table /data/tbl  # partition spec + live tuples
+ *   graft.Run copy --table /src --to /dst [--create]  # copy command,
+ *     cli/commands/copy.py — a snapshot-consistent scan MERGEd into the
+ *     destination under the Create rule (upsert matched, insert new)
  *
  * Master and executor conf come from spark-submit and are respected;
  * local[*] and shuffle=32 apply only as fallbacks for bare-JVM launches,
@@ -48,16 +51,18 @@ object Run {
       audit: Boolean = false,
       json: Boolean = false,
       format: String = "plain",
-      out: Option[String] = None)
+      out: Option[String] = None,
+      to: Option[String] = None)
 
-  private val Subcommands = Set("schema", "audit", "history", "partitions")
+  private val Subcommands = Set("schema", "audit", "history", "partitions", "copy")
 
   private val usage =
     """usage: graft.Run <pipeline.yaml> --table <root>
       |         [--create] [--annotations a,b] [--config k=v]...
       |         [--auto-migrate <migrations-dir>] [--audit] [--json]
       |   or: graft.Run schema --table <root> [--format plain|ddl|graphql|cypher] [--out file]
-      |   or: graft.Run audit|history|partitions --table <root>""".stripMargin
+      |   or: graft.Run audit|history|partitions --table <root>
+      |   or: graft.Run copy --table <src-root> --to <dst-root> [--create]""".stripMargin
 
   private[graft] def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty, usage)
@@ -80,6 +85,7 @@ object Run {
         case "--json"         => a = a.copy(json = true); i += 1
         case "--format"       => a = a.copy(format = argv(i + 1)); i += 2
         case "--out"          => a = a.copy(out = Some(argv(i + 1))); i += 2
+        case "--to"           => a = a.copy(to = Some(argv(i + 1))); i += 2
         case other            => sys.error(s"unknown option '$other'\n$usage")
       }
     }
@@ -145,6 +151,17 @@ object Run {
         print(Describe.history(table)); return 0
       case "partitions" =>
         print(Describe.partitions(table)); return 0
+      case "copy" =>
+        val dstRoot = a.to.getOrElse(sys.error(s"copy requires --to <dst-root>\n$usage"))
+        val dst =
+          if (TokenTable.exists(spark, dstRoot)) TokenTable.load(spark, dstRoot)
+          else if (a.create) TokenTable.create(spark, dstRoot)
+          else sys.error(s"no table at $dstRoot (pass --create to initialize)")
+        val snap = graft.maintenance.Maintenance.mergeInto(
+          spark, dst, table.scan(spark), graft.maintenance.CreationRule.Create)
+        println(s"copied ${snap.summary.getOrElse("added-records", "?")} records " +
+          s"into $dstRoot (snapshot ${snap.snapshotId})")
+        return 0
       case _ => () // "run" falls through to the pipeline path
     }
 

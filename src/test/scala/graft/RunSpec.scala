@@ -121,6 +121,20 @@ class RunSpec extends SparkSpec {
       Run.execute(spark, Run.Args("schema", null, base + "/none", create = true)))
   }
 
+  test("copy subcommand: content-identical destination, --to required") {
+    val base = tmpDir("runspec-copy")
+    val src = base + "/src"
+    SequenceGen.createTable(spark, src, 500, 8)
+    assert(Run.execute(spark, Run.Args("copy", null, src,
+      create = true, to = Some(base + "/dst"))) == 0)
+    val s = TokenTable.load(spark, src).scan(spark)
+      .agg(bit_xor(xxhash64(col("doc_id"), col("tokens")))).first.getLong(0)
+    val d = TokenTable.load(spark, base + "/dst").scan(spark)
+      .agg(bit_xor(xxhash64(col("doc_id"), col("tokens")))).first.getLong(0)
+    assert(s == d, "copy is not content-identical")
+    intercept[Exception](Run.execute(spark, Run.Args("copy", null, src)))
+  }
+
   test("run: missing table without --create fails loudly") {
     val yaml = write(tmpDir("runspec-miss") + "/p.yaml", "- implementation: compact\n")
     val e = intercept[Exception](
