@@ -31,6 +31,9 @@ import graft.table.{Describe, MigrationGraph, Migrator, TokenTable}
  *   graft.Run copy --table /src --to /dst [--create]  # copy command,
  *     cli/commands/copy.py — a snapshot-consistent scan MERGEd into the
  *     destination under the Create rule (upsert matched, insert new)
+ *   graft.Run migrations --table /data/tbl --migrations-dir migs/
+ *     # `migrations show`, show_migrations.py — applied/pending per
+ *     # migration in plan order; any pending -> exit 3, like audit
  *
  * Master and executor conf come from spark-submit and are respected;
  * local[*] and shuffle=32 apply only as fallbacks for bare-JVM launches,
@@ -54,7 +57,8 @@ object Run {
       out: Option[String] = None,
       to: Option[String] = None)
 
-  private val Subcommands = Set("schema", "audit", "history", "partitions", "copy")
+  private val Subcommands =
+    Set("schema", "audit", "history", "partitions", "copy", "migrations")
 
   private val usage =
     """usage: graft.Run <pipeline.yaml> --table <root>
@@ -62,7 +66,8 @@ object Run {
       |         [--auto-migrate <migrations-dir>] [--audit] [--json]
       |   or: graft.Run schema --table <root> [--format plain|ddl|graphql|cypher] [--out file]
       |   or: graft.Run audit|history|partitions --table <root>
-      |   or: graft.Run copy --table <src-root> --to <dst-root> [--create]""".stripMargin
+      |   or: graft.Run copy --table <src-root> --to <dst-root> [--create]
+      |   or: graft.Run migrations --table <root> --migrations-dir <dir>""".stripMargin
 
   private[graft] def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty, usage)
@@ -80,7 +85,8 @@ object Run {
           val kv = argv(i + 1).split("=", 2)
           require(kv.length == 2, s"--config expects k=v, got '${argv(i + 1)}'")
           a = a.copy(config = a.config + (kv(0) -> kv(1))); i += 2
-        case "--auto-migrate" => a = a.copy(autoMigrate = Some(argv(i + 1))); i += 2
+        case "--auto-migrate" | "--migrations-dir" =>
+          a = a.copy(autoMigrate = Some(argv(i + 1))); i += 2
         case "--audit"        => a = a.copy(audit = true); i += 1
         case "--json"         => a = a.copy(json = true); i += 1
         case "--format"       => a = a.copy(format = argv(i + 1)); i += 2
@@ -162,6 +168,17 @@ object Run {
         println(s"copied ${snap.summary.getOrElse("added-records", "?")} records " +
           s"into $dstRoot (snapshot ${snap.snapshotId})")
         return 0
+      case "migrations" =>
+        val dir = a.autoMigrate.getOrElse(
+          sys.error(s"migrations requires --migrations-dir <dir>\n$usage"))
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val graph = MigrationGraph.fromDirectory(
+          p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+        val done = Migrator.completed(table)
+        val plan = graph.topologicalOrder
+        plan.foreach(m => println(
+          f"${m.name}%-40s ${if (done.contains(m.name)) "applied" else "pending"}"))
+        return plan.count(m => !done.contains(m.name))
       case _ => () // "run" falls through to the pipeline path
     }
 

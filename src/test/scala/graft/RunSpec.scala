@@ -135,6 +135,24 @@ class RunSpec extends SparkSpec {
     intercept[Exception](Run.execute(spark, Run.Args("copy", null, src)))
   }
 
+  test("migrations subcommand: pending count as exit, applied after auto-migrate") {
+    val base = tmpDir("runspec-migshow")
+    val root = base + "/tbl"
+    SequenceGen.createTable(spark, root, 100, 2)
+    val migDir = base + "/migrations"
+    val t = TokenTable.load(spark, root)
+    Migration("m1_add_quality", Seq(AddColumn("quality", "DOUBLE")), Nil)
+      .writeToDirectory(t.fs, new org.apache.hadoop.fs.Path(migDir))
+    // one pending
+    assert(Run.execute(spark, Run.Args("migrations", null, root,
+      autoMigrate = Some(migDir))) == 1)
+    // run with --auto-migrate applies it; show drops to zero pending
+    val yaml = write(base + "/p.yaml", "- implementation: compact\n")
+    Run.execute(spark, Run.Args("run", yaml, root, autoMigrate = Some(migDir)))
+    assert(Run.execute(spark, Run.Args("migrations", null, root,
+      autoMigrate = Some(migDir))) == 0)
+  }
+
   test("run: missing table without --create fails loudly") {
     val yaml = write(tmpDir("runspec-miss") + "/p.yaml", "- implementation: compact\n")
     val e = intercept[Exception](
