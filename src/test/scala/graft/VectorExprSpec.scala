@@ -63,6 +63,19 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("lsh signature weight cache survives mixed vector lengths in one column") {
+    // The per-length plane-weight cache recomputes when consecutive rows
+    // carry different dims — alternating lengths force the recompute path
+    // on every row and must still match the columnar reference exactly.
+    val df = spark.range(400).select(
+      transform(sequence(lit(0), pmod(col("id"), lit(7)).cast("int") + 1),
+        j => (pmod(col("id") * 29 + j * 17, lit(3001)) / 400.0 - 3.7).cast("float")).as("v"))
+    val bad = df.select(AnnOps.lshSignature(col("v"), 8).as("n"),
+        AnnOps.lshSignatureColumnar(col("v"), 8).as("r"))
+      .filter(col("n") =!= col("r"))
+    assert(bad.count() == 0)
+  }
+
   test("native lsh signature keeps the columnar null algebra: null vec/element -> 0L") {
     val df = spark.sql(
       """SELECT * FROM VALUES
