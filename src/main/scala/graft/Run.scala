@@ -76,22 +76,26 @@ object Run {
       else Args(command = "run", pipeline = argv(0), table = null)
     var i = 1
     while (i < argv.length) {
+      def value: String = {
+        require(i + 1 < argv.length, s"option ${argv(i)} expects a value\n$usage")
+        argv(i + 1)
+      }
       argv(i) match {
-        case "--table"        => a = a.copy(table = argv(i + 1)); i += 2
+        case "--table"        => a = a.copy(table = value); i += 2
         case "--create"       => a = a.copy(create = true); i += 1
         case "--annotations"  =>
-          a = a.copy(annotations = Some(argv(i + 1).split(",").map(_.trim).toSet)); i += 2
+          a = a.copy(annotations = Some(value.split(",").map(_.trim).toSet)); i += 2
         case "--config"       =>
-          val kv = argv(i + 1).split("=", 2)
-          require(kv.length == 2, s"--config expects k=v, got '${argv(i + 1)}'")
+          val kv = value.split("=", 2)
+          require(kv.length == 2, s"--config expects k=v, got '$value'")
           a = a.copy(config = a.config + (kv(0) -> kv(1))); i += 2
         case "--auto-migrate" | "--migrations-dir" =>
-          a = a.copy(autoMigrate = Some(argv(i + 1))); i += 2
+          a = a.copy(autoMigrate = Some(value)); i += 2
         case "--audit"        => a = a.copy(audit = true); i += 1
         case "--json"         => a = a.copy(json = true); i += 1
-        case "--format"       => a = a.copy(format = argv(i + 1)); i += 2
-        case "--out"          => a = a.copy(out = Some(argv(i + 1))); i += 2
-        case "--to"           => a = a.copy(to = Some(argv(i + 1))); i += 2
+        case "--format"       => a = a.copy(format = value); i += 2
+        case "--out"          => a = a.copy(out = Some(value)); i += 2
+        case "--to"           => a = a.copy(to = Some(value)); i += 2
         case other            => sys.error(s"unknown option '$other'\n$usage")
       }
     }

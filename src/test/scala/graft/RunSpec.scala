@@ -31,6 +31,8 @@ class RunSpec extends SparkSpec {
     assert(s.command == "schema" && s.format == "graphql" && s.pipeline == null)
     intercept[Exception](Run.parseArgs(Array("p.yaml")))
     intercept[Exception](Run.parseArgs(Array("p.yaml", "--table", "/t", "--bogus")))
+    val trailing = intercept[Exception](Run.parseArgs(Array("p.yaml", "--table")))
+    assert(trailing.getMessage.contains("expects a value"))
   }
 
   test("run: create, maintenance pipeline with annotations + !config, content preserved") {
