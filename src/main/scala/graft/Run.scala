@@ -69,8 +69,12 @@ object Run {
       |   or: graft.Run copy --table <src-root> --to <dst-root> [--create]
       |   or: graft.Run migrations --table <root> --migrations-dir <dir>""".stripMargin
 
+  /** Thrown by parseArgs on --help; main prints usage and exits 0. */
+  private[graft] final class HelpRequested extends RuntimeException(usage)
+
   private[graft] def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty, usage)
+    if (argv.contains("--help") || argv(0) == "help") throw new HelpRequested
     var a =
       if (Subcommands.contains(argv(0))) Args(command = argv(0), pipeline = null, table = null)
       else Args(command = "run", pipeline = argv(0), table = null)
@@ -208,7 +212,8 @@ object Run {
 
   def main(argv: Array[String]): Unit = {
     val a = try parseArgs(argv) catch {
-      case e: Throwable => System.err.println(e.getMessage); sys.exit(1)
+      case h: HelpRequested => println(h.getMessage); sys.exit(0)
+      case e: Throwable     => System.err.println(e.getMessage); sys.exit(1)
     }
     // spark-submit populates spark.master in the conf; only a bare JVM
     // launch (sbt runMain, IDE) falls back to local[*] + shuffle 32.

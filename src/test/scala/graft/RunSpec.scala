@@ -33,6 +33,8 @@ class RunSpec extends SparkSpec {
     intercept[Exception](Run.parseArgs(Array("p.yaml", "--table", "/t", "--bogus")))
     val trailing = intercept[Exception](Run.parseArgs(Array("p.yaml", "--table")))
     assert(trailing.getMessage.contains("expects a value"))
+    for (help <- Seq(Array("--help"), Array("help"), Array("p.yaml", "--help")))
+      assert(intercept[Exception](Run.parseArgs(help)).isInstanceOf[Run.HelpRequested])
   }
 
   test("run: create, maintenance pipeline with annotations + !config, content preserved") {
