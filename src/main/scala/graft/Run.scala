@@ -34,6 +34,13 @@ import graft.table.{Describe, MigrationGraph, Migrator, TokenTable}
  *   graft.Run migrations --table /data/tbl --migrations-dir migs/
  *     # `migrations show`, show_migrations.py — applied/pending per
  *     # migration in plan order; any pending -> exit 3, like audit
+ *   graft.Run migrations --table /data/tbl --migrations-dir migs/ \
+ *     --make [--name mN_x] [--dry-run]
+ *     # `migrations make`, make_migrations.py — auto-detects the drift
+ *     # between the DAG's accumulated schema and the table's ACTUAL
+ *     # schema (a table evolved directly via evolveSchema) and writes a
+ *     # migration depending on the current leaves, replayable onto other
+ *     # tables; re-applying to the source table conflicts loudly by design
  *
  * Master and executor conf come from spark-submit and are respected;
  * local[*] and shuffle=32 apply only as fallbacks for bare-JVM launches,
@@ -55,7 +62,10 @@ object Run {
       json: Boolean = false,
       format: String = "plain",
       out: Option[String] = None,
-      to: Option[String] = None)
+      to: Option[String] = None,
+      make: Boolean = false,
+      dryRun: Boolean = false,
+      name: Option[String] = None)
 
   private val Subcommands =
     Set("schema", "audit", "history", "partitions", "copy", "migrations")
@@ -100,6 +110,9 @@ object Run {
         case "--format"       => a = a.copy(format = value); i += 2
         case "--out"          => a = a.copy(out = Some(value)); i += 2
         case "--to"           => a = a.copy(to = Some(value)); i += 2
+        case "--make"         => a = a.copy(make = true); i += 1
+        case "--dry-run"      => a = a.copy(dryRun = true); i += 1
+        case "--name"         => a = a.copy(name = Some(value)); i += 2
         case other            => sys.error(s"unknown option '$other'\n$usage")
       }
     }
@@ -180,10 +193,31 @@ object Run {
         val dir = a.autoMigrate.getOrElse(
           sys.error(s"migrations requires --migrations-dir <dir>\n$usage"))
         val p = new org.apache.hadoop.fs.Path(dir)
-        val graph = MigrationGraph.fromDirectory(
-          p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-        val done = Migrator.completed(table)
+        val dirFs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val graph =
+          if (dirFs.exists(p)) MigrationGraph.fromDirectory(dirFs, p)
+          else graft.table.MigrationGraph.fromMigrations(Nil)
         val plan = graph.topologicalOrder
+        if (a.make) {
+          // `migrations make` (make_migrations.py): replay the DAG onto the
+          // canonical base schema and name-diff against the table's actual
+          // schema — the drift a direct evolveSchema left uncaptured.
+          val base = TokenTable.sequenceSchema
+          val (accumulated, _) = plan.foldLeft(
+              (base, base.fieldNames.zipWithIndex.toMap)) { case ((s, ids), m) =>
+            graft.table.SchemaEvolution.applyOps(s, ids, m.operations)
+          }
+          val ops = graft.table.SchemaEvolution.diffByName(accumulated, table.schema)
+          if (ops.isEmpty) { println("no changes detected"); return 0 }
+          val migName = a.name.getOrElse(f"m${plan.size + 1}%03d_auto")
+          ops.foreach(op => println(s"  $op"))
+          if (a.dryRun) return 0
+          val mig = graft.table.Migration(migName, ops, graph.leaves.map(_.name))
+          mig.writeToDirectory(dirFs, p)
+          println(s"wrote $migName.yaml (${ops.size} operations)")
+          return 0
+        }
+        val done = Migrator.completed(table)
         plan.foreach(m => println(
           f"${m.name}%-40s ${if (done.contains(m.name)) "applied" else "pending"}"))
         return plan.count(m => !done.contains(m.name))

@@ -157,6 +157,36 @@ class RunSpec extends SparkSpec {
       autoMigrate = Some(migDir))) == 0)
   }
 
+  test("migrations --make: captures direct schema drift, replayable on another table") {
+    val base = tmpDir("runspec-make")
+    val src = base + "/src"
+    SequenceGen.createTable(spark, src, 100, 2)
+    val migDir = base + "/migrations"
+    // drift applied DIRECTLY to the table, bypassing named migrations
+    TokenTable.load(spark, src).evolveSchema(Seq(AddColumn("lang", "STRING")))
+
+    // dry-run prints the detected op, writes nothing
+    assert(Run.execute(spark, Run.Args("migrations", null, src,
+      autoMigrate = Some(migDir), make = true, dryRun = true)) == 0)
+    assert(!new java.io.File(migDir).exists())
+
+    // make writes the migration; a second make detects nothing new
+    assert(Run.execute(spark, Run.Args("migrations", null, src,
+      autoMigrate = Some(migDir), make = true, name = Some("m001_lang"))) == 0)
+    assert(new java.io.File(migDir, "m001_lang.yaml").exists())
+
+    // replay onto a fresh table: auto-migrate applies the captured drift
+    val dst = base + "/dst"
+    SequenceGen.createTable(spark, dst, 50, 2)
+    val yaml = write(base + "/p.yaml", "- implementation: compact\n")
+    Run.execute(spark, Run.Args("run", yaml, dst, autoMigrate = Some(migDir)))
+    val t = TokenTable.load(spark, dst)
+    assert(t.schema.fieldNames.contains("lang"), "captured drift not replayed")
+    // and the destination now shows zero pending
+    assert(Run.execute(spark, Run.Args("migrations", null, dst,
+      autoMigrate = Some(migDir))) == 0)
+  }
+
   test("run: missing table without --create fails loudly") {
     val yaml = write(tmpDir("runspec-miss") + "/p.yaml", "- implementation: compact\n")
     val e = intercept[Exception](
