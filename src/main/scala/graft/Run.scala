@@ -41,6 +41,12 @@ import graft.table.{Describe, MigrationGraph, Migrator, TokenTable}
  *     # schema (a table evolved directly via evolveSchema) and writes a
  *     # migration depending on the current leaves, replayable onto other
  *     # tables; re-applying to the source table conflicts loudly by design
+ *   graft.Run migrations --table /data/tbl --migrations-dir migs/ \
+ *     --from m001 [--to m003] [--name squashed] [--dry-run]
+ *     # `migrations squash`, squash_migrations.py — squash the contiguous
+ *     # topological span into one algebraically-reduced migration that
+ *     # `replaces` the originals (squash-aware planning skips them on
+ *     # tables where any original already applied)
  *
  * Master and executor conf come from spark-submit and are respected;
  * local[*] and shuffle=32 apply only as fallbacks for bare-JVM launches,
@@ -65,7 +71,8 @@ object Run {
       to: Option[String] = None,
       make: Boolean = false,
       dryRun: Boolean = false,
-      name: Option[String] = None)
+      name: Option[String] = None,
+      from: Option[String] = None)
 
   private val Subcommands =
     Set("schema", "audit", "history", "partitions", "copy", "migrations")
@@ -113,6 +120,7 @@ object Run {
         case "--make"         => a = a.copy(make = true); i += 1
         case "--dry-run"      => a = a.copy(dryRun = true); i += 1
         case "--name"         => a = a.copy(name = Some(value)); i += 2
+        case "--from"         => a = a.copy(from = Some(value)); i += 2
         case other            => sys.error(s"unknown option '$other'\n$usage")
       }
     }
@@ -198,6 +206,20 @@ object Run {
           if (dirFs.exists(p)) MigrationGraph.fromDirectory(dirFs, p)
           else graft.table.MigrationGraph.fromMigrations(Nil)
         val plan = graph.topologicalOrder
+        a.from.foreach { fromName =>
+          // `migrations squash` (squash_migrations.py --from/--to)
+          val newName = a.name.getOrElse(s"${fromName}_squashed")
+          val sq = graph.squashBetween(newName,
+            graph.get(fromName), a.to.map(graph.get))
+          println(s"squash $newName replaces [${sq.replaces.mkString(", ")}] " +
+            s"with ${sq.operations.size} reduced operations")
+          sq.operations.foreach(op => println(s"  $op"))
+          if (!a.dryRun) {
+            sq.writeToDirectory(dirFs, p)
+            println(s"wrote $newName.yaml")
+          }
+          return 0
+        }
         if (a.make) {
           // `migrations make` (make_migrations.py): replay the DAG onto the
           // canonical base schema and name-diff against the table's actual

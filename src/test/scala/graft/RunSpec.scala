@@ -187,6 +187,35 @@ class RunSpec extends SparkSpec {
       autoMigrate = Some(migDir))) == 0)
   }
 
+  test("migrations --from/--to: squash writes a reduced replacing migration") {
+    import graft.table.{Migration, RenameColumn}
+    val base = tmpDir("runspec-squash")
+    val root = base + "/tbl"
+    SequenceGen.createTable(spark, root, 50, 2)
+    val migDir = base + "/migrations"
+    val t = TokenTable.load(spark, root)
+    val dirPath = new org.apache.hadoop.fs.Path(migDir)
+    Migration("m1_add", Seq(AddColumn("q", "DOUBLE")), Nil).writeToDirectory(t.fs, dirPath)
+    Migration("m2_rename", Seq(RenameColumn("q", "quality")), Seq("m1_add"))
+      .writeToDirectory(t.fs, dirPath)
+
+    assert(Run.execute(spark, Run.Args("migrations", null, root,
+      autoMigrate = Some(migDir), from = Some("m1_add"), name = Some("m12"))) == 0)
+    val sq = Migration.fromYaml(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(migDir, "m12.yaml")), StandardCharsets.UTF_8))
+    // add(q) + rename(q->quality) algebraically reduce to add(quality)
+    assert(sq.operations == Seq(AddColumn("quality", "DOUBLE")), sq.operations.toString)
+    assert(sq.replaces == Seq("m1_add", "m2_rename"))
+
+    // a fresh table applies ONLY the squashed migration
+    val dst = base + "/dst"
+    SequenceGen.createTable(spark, dst, 20, 2)
+    val yaml = write(base + "/p.yaml", "- implementation: compact\n")
+    Run.execute(spark, Run.Args("run", yaml, dst, autoMigrate = Some(migDir)))
+    val d = TokenTable.load(spark, dst)
+    assert(d.schema.fieldNames.contains("quality") && !d.schema.fieldNames.contains("q"))
+  }
+
   test("run: missing table without --create fails loudly") {
     val yaml = write(tmpDir("runspec-miss") + "/p.yaml", "- implementation: compact\n")
     val e = intercept[Exception](
