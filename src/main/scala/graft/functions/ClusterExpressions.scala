@@ -177,6 +177,26 @@ object Clustering {
   def sampleBounds(df: DataFrame, colName: String, buckets: Int, maxSample: Int = 200000): Array[AnyRef] =
     sampleBoundsMulti(df, Seq(colName), buckets, maxSample)(colName)
 
+  /** Murmur3 preimages: `preimages(b)` is an int v with
+    * `pmod(murmur3_int(v, 42), parts) == b` — matching Spark's
+    * HashPartitioning of an integer column, so
+    * `repartition(parts, element_at(preimages, bucket + 1))` places bucket
+    * `b` exactly in partition `b` without repartitionByRange's runtime
+    * sampling pass over the child. */
+  def murmurPreimages(parts: Int): Array[Int] = {
+    val preimages = new Array[Int](parts)
+    val found = new Array[Boolean](parts)
+    var candidate = 0
+    var remaining = parts
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(candidate, 42)
+      val b = ((h % parts) + parts) % parts
+      if (!found(b)) { found(b) = true; preimages(b) = candidate; remaining -= 1 }
+      candidate += 1
+    }
+    preimages
+  }
+
   /**
    * Plan a clustered shuffle in ONE sample job: per-dimension bucket bounds,
    * token-mass-weighted partition bounds over the curve key, and a routing
@@ -253,18 +273,7 @@ object Clustering {
     }
     val parts = pidBounds.size + 1 // dedup may shrink below nOut
 
-    // Murmur3 preimages: value v_b with pmod(murmur3_int(v_b, 42), parts) == b,
-    // matching Spark's HashPartitioning for an integer column.
-    val preimages = new Array[Int](parts)
-    val found = new Array[Boolean](parts)
-    var candidate = 0
-    var remaining = parts
-    while (remaining > 0) {
-      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(candidate, 42)
-      val b = ((h % parts) + parts) % parts
-      if (!found(b)) { found(b) = true; preimages(b) = candidate; remaining -= 1 }
-      candidate += 1
-    }
+    val preimages = murmurPreimages(parts)
 
     val keyCol = ExpressionUtils.column(keyExpr)
     val pid = ExpressionUtils.column(

@@ -59,6 +59,24 @@ object Maintenance {
 
   val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
 
+  private val planDumpSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Plan-evidence hook: when SPARK_GRAFT_PLAN_DIR is set, write the
+    * formatted physical plan of an internal write frame to
+    * `<dir>/<name>-<k>.txt` (the maintenance actions execute eagerly, so
+    * query-level explain cannot show these plans). No-op otherwise. */
+  private[graft] def debugPlan(name: String, df: DataFrame): Unit =
+    sys.env.get("SPARK_GRAFT_PLAN_DIR").foreach { dir =>
+      try {
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.writeString(
+          p.resolve(s"$name-${planDumpSeq.incrementAndGet()}.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      } catch { case _: Throwable => () }
+    }
+
   // ------------------------------------------------------------- compaction
 
   /**
@@ -144,6 +162,7 @@ object Maintenance {
                 input, spec, nOut, math.max(1, math.ceil(nOut.toDouble / tuples).toInt))
             case _ => applyLayout(input, layout, nOut, rows)
           }
+          debugPlan(s"$operation-layouted", layouted)
           val outs = table.stageWrite(layouted, s"$stepId/$unitId")
           ledger.record(unitId, outs)
           Failpoints.hit("compact.after-chunk")
@@ -198,6 +217,12 @@ object Maintenance {
       input: DataFrame, layout: Layout, nOut: Int, totalRows: Long): DataFrame = layout match {
     case Concat =>
       input.coalesce(nOut)
+    // doc_id sort with a token-mass weight column available: the routed
+    // partitioner both balances token mass (vs repartitionByRange's row
+    // balance under the 1% long-doc skew) and skips the range partitioner's
+    // runtime sampling re-execution of the input scan
+    case SortBy(cols) if cols == Seq("doc_id") && input.columns.contains("n_tok") =>
+      repartitionByTokenMass(input, nOut, Some(totalRows))
     case SortBy(cols) =>
       input.repartitionByRange(nOut, cols.map(col): _*)
         .sortWithinPartitions(cols.map(col): _*)
@@ -210,17 +235,43 @@ object Maintenance {
   /** Curve re-cluster as a single-scan shuffle: the [[graft.functions.CurvePlan]]
     * routes rows straight to token-mass-balanced partitions (no
     * repartitionByRange runtime sampling pass — that would re-decode every
-    * token array once more) and the within-partition sort orders by the key. */
+    * token array once more) and the within-partition sort orders by the key.
+    * The token payload crosses the exchange zigzag-delta-varint-packed
+    * ([[graft.functions.TokenCodec]], guide §2.3 "shuffle fewer bytes"):
+    * pack evaluates map-side, unpack reduce-side after the sort, so both the
+    * exchange bytes and the sort buffer shrink 2-4x while the written file
+    * is bit-identical. */
   private def curveShuffle(
       input: DataFrame, cols: Seq[String], bits: Int, hilbert: Boolean,
       nOut: Int, totalRows: Long): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
     val weight = if (input.columns.contains("n_tok")) Some("n_tok") else None
     val plan = Clustering.planCurveShuffle(
       input, cols, bits, hilbert, nOut, Some(totalRows), weight)
-    input.withColumn("_ck", plan.keyCol).withColumn("_rt", plan.routeCol)
-      .repartition(plan.nOut, col("_rt"))
-      .sortWithinPartitions(col("_ck"))
-      .drop("_ck", "_rt")
+    val packable = input.schema.fields.find(_.name == "tokens").map(_.dataType) match {
+      case Some(ArrayType(IntegerType, _)) => !cols.contains("tokens")
+      case _ => false
+    }
+    if (!packable) {
+      input.withColumn("_ck", plan.keyCol).withColumn("_rt", plan.routeCol)
+        .repartition(plan.nOut, col("_rt"))
+        .sortWithinPartitions(col("_ck"))
+        .drop("_ck", "_rt")
+    } else {
+      val elemNullable = input.schema("tokens").dataType
+        .asInstanceOf[ArrayType].containsNull
+      val order = input.columns.toSeq
+      input
+        .withColumn("_ck", plan.keyCol).withColumn("_rt", plan.routeCol)
+        .withColumn("_pk", ExpressionUtils.column(
+          graft.functions.PackTokens(ExpressionUtils.expression(col("tokens")))))
+        .drop("tokens")
+        .repartition(plan.nOut, col("_rt"))
+        .sortWithinPartitions(col("_ck"))
+        .withColumn("tokens", ExpressionUtils.column(graft.functions.UnpackTokens(
+          ExpressionUtils.expression(col("_pk")), elemNullable)))
+        .select(order.map(col): _*)
+    }
   }
 
   // ---------------------------------------------------------------- merge
@@ -295,7 +346,17 @@ object Maintenance {
     // delete path into the planned set while its file is missing from `live`
     Failpoints.hitCallback("merge.after-live")
     val plannedDeletes = table.deletePathsOf(m)
-    val touched = touchedFiles(debounced, live)
+    // Fused probe: ONE aggregation job over the cached debounced batch
+    // yields the pruning hits AND the batch (rows, token mass) that the old
+    // path collected in two separate jobs.
+    val endpoints: Array[String] =
+      live.flatMap(f => Seq(f.minDocId, f.maxDocId)).distinct.sorted.toArray
+    val probeRows = pruneProbeAgg(debounced, endpoints).collect()
+    val hits: Array[Int] = probeRows.map(_.getInt(0)).sorted
+    val batchRows = probeRows.map(_.getLong(1)).sum
+    val batchToks = probeRows.map(_.getLong(2)).sum
+    val touched =
+      if (live.isEmpty) Seq.empty else touchedByHits(live, endpoints, hits)
     val touchedPaths: Set[String] = touched.map(_.path).toSet
 
     val target = table.readFiles(spark, touched, table.deleteEntriesOf(m))
@@ -303,9 +364,45 @@ object Maintenance {
       .withColumnRenamed("tokens", "_b_tokens").withColumnRenamed("n_tok", "_b_n_tok")
       .withColumnRenamed("source", "_b_source")
       .withColumn("_b_present", lit(true))
+
+    // Output sizing from manifest stats + the fused probe (bytes/token from
+    // live file footers; 2.5 B/token is the observed parquet density for
+    // int32 token streams on an empty table).
+    val bytesPerTok =
+      if (live.nonEmpty && live.map(_.sumNTok).sum > 0)
+        live.map(_.bytes).sum.toDouble / live.map(_.sumNTok).sum
+      else 2.5
+    val outBytes = touched.map(_.bytes).sum + (batchToks * bytesPerTok).toLong
+    val nOut = math.max(1, math.ceil(outBytes.toDouble / targetFileBytes).toInt)
+    val totalRows = touched.map(_.records).sum + batchRows
+    // slim (doc_id, n_tok) view of target ∪ batch — equivalently distributed
+    // to the merged result, so range bounds sample the column-pruned INPUTS
+    // instead of re-executing the whole join (guide §1.2: fewer passes)
+    def slimInputs: DataFrame = target.select(col("doc_id"), col("n_tok"))
+      .unionByName(debounced.select(col("doc_id"), col("n_tok")))
+
+    // Route-partitioned join (guide §3.3): both sides are pre-partitioned by
+    // a token-mass-balanced doc_id range bucket routed through Murmur3
+    // preimages, and the join carries the route as a leading key — Catalyst
+    // then recognizes the sides as co-partitioned (HashPartitioning on a
+    // join-key subset), so the join adds NO exchange and its output lands
+    // already range-clustered: the old post-join repartitionByTokenMass
+    // exchange (a full second pass of the merged payload, plus
+    // repartitionByRange's sampling re-execution of the join) disappears.
+    val bounds: Option[Array[AnyRef]] =
+      if (m.spec.nonEmpty || nOut <= 1) None
+      else docRouteBounds(slimInputs, nOut, Some(totalRows))
+    val (tJ, bJ, joinKeys) = bounds match {
+      case Some(bs) =>
+        val route = docRouteCol(bs)
+        (target.withColumn("_mrt", route).repartition(bs.length + 1, col("_mrt")),
+          b.withColumn("_mrt", route).repartition(bs.length + 1, col("_mrt")),
+          Seq("_mrt", "doc_id"))
+      case None => (target, b, Seq("doc_id"))
+    }
     // full_outer (Eager): matched → batch wins; target-only → keep;
     // batch-only → insert. left_outer (MatchOnly): unmatched batch dropped.
-    val joined = target.join(b, Seq("doc_id"),
+    val joined = tJ.join(bJ, joinKeys,
       if (rule == CreationRule.MatchOnly) "left_outer" else "full_outer")
     val result = joined
       // drop rows the batch deletes; batch-only delete rows also vanish here
@@ -322,23 +419,21 @@ object Maintenance {
           // freshly inserted rows — batch carries only the canonical shape)
           target.columns.filterNot(Set("doc_id", "tokens", "n_tok", "source")).map(col): _*)
 
-    // Output sizing + token-mass balanced range partitioning on doc_id.
-    val (batchBytes, batchRows) = estimateBatch(touched, live, debounced)
-    val outBytes = touched.map(_.bytes).sum + batchBytes
-    val nOut = math.max(1, math.ceil(outBytes.toDouble / targetFileBytes).toInt)
     // Partitioned tables distribute the rewrite by partition TUPLE + a
     // doc_id-hash salt sized so (tuples x salt) ~ nOut: each write task
     // holds few tuples (bounded partitionBy fan-out), a skewed tuple splits
     // across salt tasks/files, and targetFileBytes sizing is honored.
-    // Unpartitioned tables keep the token-mass doc_id ranges.
+    // Unpartitioned tables are already route-clustered by the join; a local
+    // doc_id sort gives narrow per-file stats with no further exchange.
     val balanced =
       if (m.spec.nonEmpty) {
         val tuples = math.max(1, touched.flatMap(_.partition).distinct.size)
         val salt = math.max(1, math.ceil(nOut.toDouble / tuples).toInt)
         graft.table.Partitioning.distributeByPartition(result, m.spec,
           math.max(nOut, spark.sessionState.conf.numShufflePartitions), salt)
-      } else repartitionByTokenMass(result, nOut,
-        Some(touched.map(_.records).sum + batchRows))
+      } else if (bounds.nonEmpty) result.sortWithinPartitions("doc_id")
+      else repartitionByTokenMass(result, nOut, Some(totalRows),
+        sampleFrom = Some(slimInputs))
 
     // stepId must be deterministic across reruns (crash-resume finds its
     // ledger) yet distinct for CONCURRENT merges from the same snapshot with
@@ -354,18 +449,21 @@ object Maintenance {
     // summary. Attached only on a live write: a ledger-resumed merge replays
     // staged files and has no action for the observation to observe.
     var observed: Map[String, String] = Map.empty
-    val staged = ledger.completedUnits().getOrElse("merge", {
-      val stagingDir = new Path(table.dataDir, s"$stepId/merge")
-      if (table.fs.exists(stagingDir)) table.fs.delete(stagingDir, true)
-      val obs = new org.apache.spark.sql.Observation(s"graft-$stepId")
-      val outs = table.stageWrite(
-        balanced.observe(obs, count(lit(1)).as("rows"),
-          coalesce(sum(col("n_tok").cast("long")), lit(0L)).as("tokens")),
-        s"$stepId/merge")
-      observed = obs.get.map { case (k, v) => s"observed-$k" -> String.valueOf(v) }.toMap
-      ledger.record("merge", outs)
-      outs
-    })
+    val staged = withPartialKeyCoPartition(spark, needed = bounds.nonEmpty) {
+      debugPlan("merge-balanced", balanced)
+      ledger.completedUnits().getOrElse("merge", {
+        val stagingDir = new Path(table.dataDir, s"$stepId/merge")
+        if (table.fs.exists(stagingDir)) table.fs.delete(stagingDir, true)
+        val obs = new org.apache.spark.sql.Observation(s"graft-$stepId")
+        val outs = table.stageWrite(
+          balanced.observe(obs, count(lit(1)).as("rows"),
+            coalesce(sum(col("n_tok").cast("long")), lit(0L)).as("tokens")),
+          s"$stepId/merge")
+        observed = obs.get.map { case (k, v) => s"observed-$k" -> String.valueOf(v) }.toMap
+        ledger.record("merge", outs)
+        outs
+      })
+    }
     Failpoints.hit("merge.before-commit")
     val snap =
       try table.commit("merge", staged, touchedPaths,
@@ -522,15 +620,25 @@ object Maintenance {
     batchKeys.select(bucketCol.as("_b")).distinct()
   }
 
-  /** Files whose [minDocId, maxDocId] may contain a batch key — interval
-    * stabbing over the sorted distinct file endpoints (see mergeInto doc). */
-  private[graft] def touchedFiles(
-      debounced: DataFrame, live: Seq[DataFileMeta]): Seq[DataFileMeta] = {
-    if (live.isEmpty) return Seq.empty
-    val endpoints: Array[String] =
-      live.flatMap(f => Seq(f.minDocId, f.maxDocId)).distinct.sorted.toArray
-    val hits: Array[Int] = pruneProbe(debounced, endpoints)
-      .collect().map(_.getInt(0)).sorted
+  /** One-job fusion of the pruning probe and the batch-size estimate: per
+    * endpoint-interval id → (row count, token mass). The distinct ids drive
+    * file pruning exactly like [[pruneProbe]], while the per-group totals
+    * replace what used to be a SECOND aggregation job over the batch
+    * (guide §1.2: fewer passes). */
+  private def pruneProbeAgg(batch: DataFrame, endpoints: Array[String]): DataFrame = {
+    val bounds: Array[AnyRef] = endpoints.map(s =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s): AnyRef)
+    val bucketCol = ExpressionUtils.column(
+      RangeBucket(ExpressionUtils.expression(col("doc_id")), bounds))
+    batch.groupBy(bucketCol.as("_b"))
+      .agg(count(lit(1)).as("_n"),
+        coalesce(sum(col("n_tok").cast("long")), lit(0L)).as("_toks"))
+  }
+
+  /** Interval-stabbing file selection from collected probe hit ids. */
+  private def touchedByHits(
+      live: Seq[DataFileMeta], endpoints: Array[String],
+      hits: Array[Int]): Seq[DataFileMeta] = {
     def anyHitIn(lo: Int, hi: Int): Boolean = {
       var l = 0; var h = hits.length
       while (l < h) { val m = (l + h) >>> 1; if (hits(m) < lo) l = m + 1 else h = m }
@@ -540,19 +648,52 @@ object Maintenance {
     live.filter(f => anyHitIn(idx(f.minDocId), idx(f.maxDocId)))
   }
 
+  /** Files whose [minDocId, maxDocId] may contain a batch key — interval
+    * stabbing over the sorted distinct file endpoints (see mergeInto doc). */
+  private[graft] def touchedFiles(
+      debounced: DataFrame, live: Seq[DataFileMeta]): Seq[DataFileMeta] = {
+    if (live.isEmpty) return Seq.empty
+    val endpoints: Array[String] =
+      live.flatMap(f => Seq(f.minDocId, f.maxDocId)).distinct.sorted.toArray
+    val hits: Array[Int] = pruneProbe(debounced, endpoints)
+      .collect().map(_.getInt(0)).sorted
+    touchedByHits(live, endpoints, hits)
+  }
+
   /**
    * Salted/weighted range partitioning: choose doc_id bounds so each output
    * partition carries ~equal *token mass* (not row count) — a long-doc skew
    * (1% of docs carry 4k-16k tokens) would otherwise leave straggler tasks.
    * Bounds are computed from a weighted sample; the bucket id is a codegen'd
-   * [[RangeBucket]] so the only shuffle is the final repartitionByRange.
+   * [[RangeBucket]] routed through Murmur3 preimages
+   * ([[Clustering.murmurPreimages]]), so the ONLY pass over `df` is the
+   * final hash exchange — `repartitionByRange` would re-execute the child
+   * (token arrays included) once more for its runtime bound sampling.
    * With a `totalRows` hint the sample is a pure fraction (one fully
-   * parallel job, no serial CollectLimit).
+   * parallel job, no serial CollectLimit). `sampleFrom` substitutes a
+   * cheaper equivalently-distributed (doc_id, n_tok) frame for the bound
+   * sample — e.g. the slim inputs of a join instead of the join itself.
    */
   def repartitionByTokenMass(
-      df: DataFrame, nOut: Int, totalRows: Option[Long] = None): DataFrame = {
+      df: DataFrame, nOut: Int, totalRows: Option[Long] = None,
+      sampleFrom: Option[DataFrame] = None): DataFrame = {
     if (nOut <= 1) return df.coalesce(1).sortWithinPartitions("doc_id")
-    val projected = df.select(col("doc_id"), col("n_tok"))
+    docRouteBounds(sampleFrom.getOrElse(df), nOut, totalRows) match {
+      case None =>
+        df.repartitionByRange(nOut, col("doc_id")).sortWithinPartitions("doc_id")
+      case Some(bounds) =>
+        df.withColumn("_mrt", docRouteCol(bounds))
+          .repartition(bounds.length + 1, col("_mrt"))
+          .sortWithinPartitions("doc_id")
+          .drop("_mrt")
+    }
+  }
+
+  /** Token-mass-weighted doc_id cut points from a slim one-job sample
+    * (None = sample too small, caller falls back). */
+  private[graft] def docRouteBounds(
+      sampleDf: DataFrame, nOut: Int, totalRows: Option[Long]): Option[Array[AnyRef]] = {
+    val projected = sampleDf.select(col("doc_id"), col("n_tok"))
     val raw = totalRows match {
       case Some(n) if n > 0 =>
         val fraction = math.min(1.0, 200000.0 * 1.2 / n)
@@ -564,9 +705,7 @@ object Maintenance {
     val sample = raw
       .map(r => (r.getString(0), r.getInt(1).toLong))
       .sortBy(_._1)
-    if (sample.length < nOut * 2) {
-      return df.repartitionByRange(nOut, col("doc_id")).sortWithinPartitions("doc_id")
-    }
+    if (sample.length < nOut * 2) return None
     val totalMass = sample.map(_._2).sum.toDouble
     val perPart = totalMass / nOut
     val bounds = scala.collection.mutable.ArrayBuffer[AnyRef]()
@@ -574,29 +713,44 @@ object Maintenance {
     var nextCut = perPart
     sample.foreach { case (docId, w) =>
       acc += w
-      if (acc >= nextCut && bounds.size < nOut - 1) {
+      if (acc >= nextCut && bounds.size < nOut - 1 &&
+          !bounds.lastOption.contains(
+            org.apache.spark.unsafe.types.UTF8String.fromString(docId): AnyRef)) {
         bounds += org.apache.spark.unsafe.types.UTF8String.fromString(docId)
         nextCut += perPart
       }
     }
-    val bucket = ExpressionUtils.column(
-      RangeBucket(ExpressionUtils.expression(col("doc_id")), bounds.toArray))
-    df.withColumn("_mb", bucket)
-      .repartitionByRange(nOut, col("_mb"), col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .drop("_mb")
+    Some(bounds.toArray)
   }
 
-  /** (approx bytes, rows) of the batch — one tiny aggregation job. */
-  private def estimateBatch(
-      touched: Seq[DataFileMeta], live: Seq[DataFileMeta], batch: DataFrame): (Long, Long) = {
-    val bytesPerTok =
-      if (live.nonEmpty && live.map(_.sumNTok).sum > 0)
-        live.map(_.bytes).sum.toDouble / live.map(_.sumNTok).sum
-      else 2.5 // observed parquet bytes/token for int32 token streams
-    val agg = batch.agg(sum(col("n_tok").cast("long")), count(lit(1))).collect()(0)
-    val toks = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-    ((toks * bytesPerTok).toLong, agg.getLong(1))
+  /** Run `f` with partial-key co-partitioning allowed: the route-join's
+    * HashPartitioning on the leading `_mrt` key must be accepted as
+    * co-partitioning for join keys (_mrt, doc_id) — Spark's default
+    * (`spark.sql.requireAllClusterKeysForCoPartition=true`) otherwise
+    * replaces the route exchange with a full-key hash shuffle, scattering
+    * the output's doc ranges. Safe here because the route is token-mass
+    * balanced by construction (the skew the default guards against).
+    * Restores the previous value; under concurrent merges a racing restore
+    * can only cost one commit's file-layout quality, never correctness. */
+  private def withPartialKeyCoPartition[T](
+      spark: SparkSession, needed: Boolean)(f: => T): T = {
+    if (!needed) return f
+    val key = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Routing column placing doc_id range `i` exactly in partition `i` of a
+    * `repartition(bounds.length + 1, routeCol)` hash exchange. */
+  private[graft] def docRouteCol(bounds: Array[AnyRef]): Column = {
+    val bucket = ExpressionUtils.column(
+      RangeBucket(ExpressionUtils.expression(col("doc_id")), bounds))
+    element_at(typedLit(Clustering.murmurPreimages(bounds.length + 1).toSeq), bucket + 1)
   }
 
   /**
@@ -663,7 +817,11 @@ object Maintenance {
     val nOut = math.max(1, math.ceil(
       touched.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
     val staged = table.stageWrite(
-      repartitionByTokenMass(merged, nOut, Some(touched.map(_.records).sum)),
+      // bounds sampled from the slim TARGET scan (same doc_id set as the
+      // fuzzy result) so the broadcast theta-join is not executed a second
+      // time just for range sampling
+      repartitionByTokenMass(merged, nOut, Some(touched.map(_.records).sum),
+        sampleFrom = Some(target.select(col("doc_id"), col("n_tok")))),
       s"merge-fuzzy-${java.util.UUID.randomUUID()}")
     table.commit("merge", staged, touched.map(_.path).toSet,
       summary = Map("rule" -> "fuzzy",
@@ -777,7 +935,11 @@ object Maintenance {
           .filter(!pred.toColumn)
         val nOut = math.max(1, math.ceil(
           partial.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
-        table.stageWrite(kept.repartitionByRange(nOut, col("doc_id")),
+        // token-mass routing instead of repartitionByRange: the range
+        // partitioner's runtime sampling would re-execute the filter scan
+        // (tokens included) a second time
+        table.stageWrite(
+          repartitionByTokenMass(kept, nOut, Some(partial.map(_.records).sum)),
           s"delete-${java.util.UUID.randomUUID()}")
       }
     Some(table.commit("delete", staged,
@@ -866,7 +1028,10 @@ object Maintenance {
         val kept = table.readFiles(spark, affected, deletes) // anti-join applies here
         val nOut = math.max(1, math.ceil(
           affected.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
-        table.stageWrite(kept.repartitionByRange(nOut, col("doc_id")),
+        // token-mass routing: repartitionByRange would re-run the anti-join
+        // scan once more just to sample its bounds
+        table.stageWrite(
+          repartitionByTokenMass(kept, nOut, Some(affected.map(_.records).sum)),
           s"materialize-${java.util.UUID.randomUUID()}")
       }
     Some(table.commit("materialize-deletes", staged,

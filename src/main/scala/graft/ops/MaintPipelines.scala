@@ -21,8 +21,12 @@ import graft.table.TokenTable
  */
 object MaintPipelines {
 
-  /** The deterministic sequence table derived from `documents`. */
-  def tokensFromDocs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Slim form of the seed derivation: (doc_id, _id, n_tok, source) with NO
+    * token payload — shuffles placed on this frame move ~40 B/row instead of
+    * the multi-KB arrays (optimization-guide §8: route with lightweight
+    * proxies, materialize heavy payloads after the exchange).
+    * [[withStreamTokens]] adds the tokens, byte-identical either way. */
+  private def seedSlim(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.select(
       format_string("doc%012d", col("doc_id")).as("doc_id"),
@@ -30,16 +34,25 @@ object MaintPipelines {
       (lit(16) + pmod(col("n_chars"), lit(497)) +
         when(pmod(col("doc_id"), lit(100)) === 0, 4096).otherwise(0)).cast("int").as("n_tok"),
       col("source"))
-      .select(
-        col("doc_id"),
-        transform(sequence(lit(0), col("n_tok") - 1),
-          j => pmod(col("_id") * 31 + j, lit(50021)).cast("int")).as("tokens"),
-        col("n_tok"), col("source"))
   }
 
-  /** Batch of updates for the MERGE query: docs with _id % 7 == 1 get a new
-    * token stream (m=40009, mult=17, n = 8 + n_chars % 61). */
-  def updateBatch(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Materialize tokens[j] = (_id*mult + j) mod m and drop the `_id`
+    * carrier; extra columns (e.g. `_op`) ride through after `n_tok`. */
+  private def withStreamTokens(df: DataFrame, mult: Int, m: Int): DataFrame = {
+    val rest = df.columns.filterNot(Set("doc_id", "_id", "n_tok").contains)
+    df.select(Seq(
+      col("doc_id"),
+      transform(sequence(lit(0), col("n_tok") - 1),
+        j => pmod(col("_id") * mult + j, lit(m.toLong)).cast("int")).as("tokens"),
+      col("n_tok")) ++ rest.map(col): _*)
+  }
+
+  /** The deterministic sequence table derived from `documents`. */
+  def tokensFromDocs(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamTokens(seedSlim(spark, sfDir), 31, 50021)
+
+  /** Slim form of [[updateBatch]] (no token payload — see [[seedSlim]]). */
+  private def updateBatchSlim(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 1)
       .select(
@@ -59,20 +72,23 @@ object MaintPipelines {
         col("doc_id").as("_id"), lit(1).as("n_tok"),
         col("source"), lit("delete").as("_op"))
     updates.unionByName(inserts).unionByName(deletes)
-      .select(
-        col("doc_id"),
-        transform(sequence(lit(0), col("n_tok") - 1),
-          j => pmod(col("_id") * 17 + j, lit(40009)).cast("int")).as("tokens"),
-        col("n_tok"), col("source"), col("_op"))
   }
+
+  /** Batch of updates for the MERGE query: docs with _id % 7 == 1 get a new
+    * token stream (m=40009, mult=17, n = 8 + n_chars % 61). */
+  def updateBatch(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamTokens(updateBatchSlim(spark, sfDir), 17, 40009)
 
   /** Fresh throwaway table populated with tokensFromDocs, split into many
     * small scattered files so maintenance has real work to do. */
   def freshTable(spark: SparkSession, sfDir: String, nFiles: Int = 16): TokenTable = {
     val root = java.nio.file.Files.createTempDirectory("graft-maint").toString
     val t = TokenTable.create(spark, s"$root/tbl")
-    val df = tokensFromDocs(spark, sfDir)
-      .repartition(nFiles, xxhash64(col("doc_id")))
+    // scatter the slim rows, THEN materialize tokens: the file assignment
+    // (hash of doc_id) and file contents are identical, but the exchange
+    // carries no token arrays
+    val df = withStreamTokens(
+      seedSlim(spark, sfDir).repartition(nFiles, xxhash64(col("doc_id"))), 31, 50021)
     t.commit("append", t.stageWrite(df, "seed"))
     t
   }
@@ -442,9 +458,10 @@ object MaintPipelines {
       PartitionField("doc_id", "bucket", Some(4)))
     val t = TokenTable.create(spark, s"$root/tbl", partitionSpec = spec)
     // partition-aware write distribution: cluster rows by partition tuple so
-    // each write task holds few tuples (bounded partitionBy fan-out)
-    val df = graft.table.Partitioning.distributeByPartition(
-      tokensFromDocs(spark, sfDir), spec, nOut = 8)
+    // each write task holds few tuples (bounded partitionBy fan-out); the
+    // tuple exchange rides the SLIM rows, tokens materialize after it
+    val df = withStreamTokens(graft.table.Partitioning.distributeByPartition(
+      seedSlim(spark, sfDir), spec, nOut = 8), 31, 50021)
     t.commit("append", t.stageWrite(df, "seed"))
     require(t.liveFiles().forall(_.partition.exists(p =>
       p.contains("source") && p.contains("doc_id_bucket4"))),
@@ -476,10 +493,10 @@ object MaintPipelines {
     // spike, so [0, 255] excludes every other truncate value)
     val tspec = Seq(PartitionField("n_tok", "truncate", Some(256)))
     val t2 = TokenTable.create(spark, s"$root/trunc", partitionSpec = tspec)
-    val slice = tokensFromDocs(spark, sfDir)
-      .filter(expr("CAST(substring(doc_id, 4) AS BIGINT)") < 600)
-    t2.commit("append", t2.stageWrite(
-      graft.table.Partitioning.distributeByPartition(slice, tspec, nOut = 4), "seed"))
+    val slice = seedSlim(spark, sfDir).filter(col("_id") < 600)
+    t2.commit("append", t2.stageWrite(withStreamTokens(
+      graft.table.Partitioning.distributeByPartition(slice, tspec, nOut = 4),
+      31, 50021), "seed"))
     val live2 = t2.liveFiles()
     require(live2.forall(_.partition.exists(_.contains("n_tok_trunc256"))),
       "truncate tuple missing")
@@ -500,17 +517,13 @@ object MaintPipelines {
     graft.streaming.Incremental.compactTick(spark, t,
       targetFileBytes = 16L * 1024 * 1024, smallFileThreshold = 512L * 1024 * 1024)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val appended = docs.filter(pmod(col("doc_id"), lit(11)) === 4)
+    val appended = withStreamTokens(docs.filter(pmod(col("doc_id"), lit(11)) === 4)
       .select(
         format_string("doc%012d", col("doc_id") + 20000000).as("doc_id"),
         (col("doc_id") + 20000000).as("_id"),
         (lit(8) + pmod(col("n_chars"), lit(61))).cast("int").as("n_tok"),
         col("source"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), col("n_tok") - 1),
-          j => pmod(col("_id") * 17 + j, lit(40009)).cast("int")).as("tokens"),
-        col("n_tok"), col("source"))
-      .repartition(4)
+      .repartition(4), 17, 40009) // scatter slim, tokens after the exchange
     t.commit("append", t.stageWrite(appended, "inc-append"))
     graft.streaming.Incremental.compactTick(spark, t,
       targetFileBytes = 16L * 1024 * 1024, smallFileThreshold = 512L * 1024 * 1024)
@@ -539,17 +552,13 @@ object MaintPipelines {
     val t = freshTable(spark, sfDir)
     val from = t.metadata.currentSnapshotId.get
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val appended = docs.filter(pmod(col("doc_id"), lit(11)) === 4)
+    val appended = withStreamTokens(docs.filter(pmod(col("doc_id"), lit(11)) === 4)
       .select(
         format_string("doc%012d", col("doc_id") + 20000000).as("doc_id"),
         (col("doc_id") + 20000000).as("_id"),
         (lit(8) + pmod(col("n_chars"), lit(61))).cast("int").as("n_tok"),
         col("source"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), col("n_tok") - 1),
-          j => pmod(col("_id") * 17 + j, lit(40009)).cast("int")).as("tokens"),
-        col("n_tok"), col("source"))
-      .repartition(4)
+      .repartition(4), 17, 40009) // scatter slim, tokens after the exchange
     t.commit("append", t.stageWrite(appended, "cdc-append"))
     val ch = graft.table.Changelog.changesBetween(spark, t, Some(from))
     require(ch.queryExecution.optimizedPlan.collect {
@@ -596,7 +605,8 @@ object MaintPipelines {
   def streamMergeRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val t = freshTable(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft-streammerge-src").toString
-    updateBatch(spark, sfDir).repartition(6).write.mode("overwrite").parquet(dir)
+    withStreamTokens(updateBatchSlim(spark, sfDir).repartition(6), 17, 40009)
+      .write.mode("overwrite").parquet(dir)
     val stream = spark.readStream
       .schema(TokenTable.sequenceSchema.add("_op", org.apache.spark.sql.types.StringType))
       .option("maxFilesPerTrigger", 2)
@@ -623,7 +633,8 @@ object MaintPipelines {
     val t = freshTable(spark, sfDir)
     val seedPaths = t.liveFiles().map(_.path).toSet
     val dir = java.nio.file.Files.createTempDirectory("graft-morstream-src").toString
-    updateBatch(spark, sfDir).repartition(6).write.mode("overwrite").parquet(dir)
+    withStreamTokens(updateBatchSlim(spark, sfDir).repartition(6), 17, 40009)
+      .write.mode("overwrite").parquet(dir)
     val stream = spark.readStream
       .schema(TokenTable.sequenceSchema.add("_op", org.apache.spark.sql.types.StringType))
       .option("maxFilesPerTrigger", 2)

@@ -108,7 +108,10 @@ object Incremental {
       val nOut = math.max(1, math.ceil(
         fresh.map(_.bytes).sum.toDouble / targetFileBytes).toInt)
       val staged = table.stageWrite(
-        Maintenance.repartitionByTokenMass(input, nOut),
+        // totalRows from the manifests: a pure-fraction sample (fully
+        // parallel), never the serial CollectLimit fallback
+        Maintenance.repartitionByTokenMass(input, nOut,
+          totalRows = Some(fresh.map(_.records).sum)),
         s"inc-compact-${java.util.UUID.randomUUID()}")
       table.commit("compact", staged, fresh.map(_.path).toSet,
         summary = Map("mode" -> "incremental", "consumer" -> consumer),

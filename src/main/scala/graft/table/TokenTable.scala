@@ -530,8 +530,16 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   def stageDeleteKeys(keys: DataFrame, jobId: String): Seq[DataFileMeta] = {
     val spark = keys.sparkSession
     val stagingDir = new Path(dataDir, s"deletes/$jobId")
+    // Global (count, min, max) ride the write as an Observation — when the
+    // write lands as ONE file (the common micro-batch case under AQE
+    // coalescing) its stats are exactly the observed values and the
+    // read-back aggregation job below is skipped entirely.
+    val obs = new org.apache.spark.sql.Observation(s"graft-delkeys-$jobId")
     keys.select(col("doc_id").cast("string")).distinct()
+      .observe(obs, count(lit(1)).as("n"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .write.mode("errorifexists").parquet(stagingDir.toString)
+    val observed = obs.get
     val sizes: Map[String, Long] = {
       val it = fs.listFiles(stagingDir, true)
       val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
@@ -543,6 +551,14 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       buf.toMap
     }
     if (sizes.isEmpty) return Seq.empty
+    if (sizes.size == 1) {
+      val (rel, len) = sizes.head
+      return Seq(DataFileMeta(
+        path = rel, records = observed("n").asInstanceOf[Long], bytes = len,
+        minDocId = observed("lo").asInstanceOf[String],
+        maxDocId = observed("hi").asInstanceOf[String],
+        minNTok = 0, maxNTok = 0, sumNTok = 0L, sources = Seq.empty))
+    }
     // Per-file ranges from one pass over the (small, just-written) key set.
     spark.read.schema(StructType(Seq(StructField("doc_id", StringType))))
       .parquet(stagingDir.toString)
