@@ -25,7 +25,7 @@ import graft.table.{Describe, MigrationGraph, Migrator, TokenTable}
  *
  *   graft.Run schema --table /data/tbl [--format plain|ddl|graphql|cypher]
  *     [--out file]        # print-schema command, print_schema.py:10-50
- *   graft.Run audit --table /data/tbl   # audit command, exit = failure count
+ *   graft.Run audit --table /data/tbl   # audit command; any failure -> exit 3
  *   graft.Run history --table /data/tbl     # snapshot log (`show`-style)
  *   graft.Run partitions --table /data/tbl  # partition spec + live tuples
  *   graft.Run copy --table /src --to /dst [--create]  # copy command,
@@ -91,7 +91,7 @@ object Run {
 
   private[graft] def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty, usage)
-    if (argv.contains("--help") || argv(0) == "help") throw new HelpRequested
+    if (argv(0) == "help" || argv(0) == "--help") throw new HelpRequested
     var a =
       if (Subcommands.contains(argv(0))) Args(command = argv(0), pipeline = null, table = null)
       else Args(command = "run", pipeline = argv(0), table = null)
@@ -121,6 +121,9 @@ object Run {
         case "--dry-run"      => a = a.copy(dryRun = true); i += 1
         case "--name"         => a = a.copy(name = Some(value)); i += 2
         case "--from"         => a = a.copy(from = Some(value)); i += 2
+        // only at an OPTION position: `--help` as the VALUE of another
+        // option (weird but legal) is consumed by `value` above, never here
+        case "--help"         => throw new HelpRequested
         case other            => sys.error(s"unknown option '$other'\n$usage")
       }
     }
@@ -173,8 +176,14 @@ object Run {
           case f         => sys.error(s"unknown schema format '$f' (plain|ddl|graphql|cypher)")
         }
         a.out match {
-          case Some(p) => java.nio.file.Files.write(java.nio.file.Paths.get(p),
-            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)); ()
+          case Some(p) =>
+            // through Hadoop FS like every other path — a java.nio write
+            // would fail on hdfs:///s3a:// --out targets on a real cluster
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+            val os = fs.create(hp, true)
+            try os.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally os.close()
           case None    => print(text)
         }
         return 0
@@ -224,6 +233,19 @@ object Run {
           // `migrations make` (make_migrations.py): replay the DAG onto the
           // canonical base schema and name-diff against the table's actual
           // schema — the drift a direct evolveSchema left uncaptured.
+          // PENDING migrations first: their columns are not on the table
+          // yet, so the diff would emit them as reverse drift — destructive
+          // DropColumn ops that undo the pending migrations when replayed.
+          val doneForMake = Migrator.completed(table)
+          val pendingForMake = plan.filterNot(m => doneForMake.contains(m.name))
+          if (pendingForMake.nonEmpty) {
+            System.err.println(
+              s"--make refused: ${pendingForMake.size} pending migration(s) " +
+                s"(${pendingForMake.map(_.name).mkString(", ")}) — apply them " +
+                "first, or the diff would emit their columns as destructive " +
+                "DropColumn drift")
+            return 3
+          }
           val base = TokenTable.sequenceSchema
           val (accumulated, _) = plan.foldLeft(
               (base, base.fieldNames.zipWithIndex.toMap)) { case ((s, ids), m) =>

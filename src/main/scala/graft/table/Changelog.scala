@@ -104,17 +104,33 @@ object Changelog {
       // a simultaneous collision of both streams (~2^-128 per doc), making
       // the "hash-equal but content-differs drops an update" caveat
       // cryptographically negligible at 24 bytes/row of build side.
-      val cols = newDf.columns.map(col).toIndexedSeq
+      val dataCols = newDf.columns.toSeq
+      val cols = dataCols.map(col).toIndexedSeq
       val hash = xxhash64(cols: _*)
       val hash2 = xxhash64(lit("graft-cdc-seed2") +: cols: _*)
-      val o = oldDf.withColumn("_h", hash).withColumn("_h2", hash2)
-      val n = newDf.withColumn("_h", hash).withColumn("_h2", hash2)
+      // ONE full-outer join on (doc_id, _h, _h2) replaces the former pair of
+      // anti-joins: each snapshot scan is decoded+hashed ONCE (the old shape
+      // evaluated each side twice — once as probe, once as the other side's
+      // build), matched (unchanged) rows drop, and the change label selects
+      // which side's payload survives. At scale this also removes the
+      // build-side collection entirely — both sides stream through one
+      // co-partitioned shuffle instead of four full scans.
       val keys = Seq("doc_id", "_h", "_h2")
-      val deletes = o.join(n.select(keys.map(col): _*), keys, "left_anti")
-      val inserts = n.join(o.select(keys.map(col): _*), keys, "left_anti")
-      withChangeType(deletes, lit("delete"))
-        .unionByName(withChangeType(inserts, lit("insert")))
-        .drop("_h", "_h2")
+      val o = oldDf.withColumn("_h", hash).withColumn("_h2", hash2)
+        .withColumn("_o_present", lit(true))
+      val n = newDf.withColumn("_h", hash).withColumn("_h2", hash2)
+        .select(keys.map(col) ++
+          dataCols.filterNot(_ == "doc_id").map(c => col(c).as(s"_n_$c")) :+
+          lit(true).as("_n_present"): _*)
+      val j = o.join(n, keys, "full_outer")
+      val change = when(col("_n_present").isNull, "delete")
+        .when(col("_o_present").isNull, "insert")
+      j.filter(change.isNotNull)
+        .select(dataCols.map {
+          case "doc_id" => col("doc_id")
+          case c => when(col("_n_present").isNull, col(c))
+            .otherwise(col(s"_n_$c")).as(c)
+        } :+ change.as(ChangeTypeCol): _*)
     }
   }
 

@@ -83,7 +83,10 @@ object AnnOps {
       val b = (179426549L * (p + 1) + 97L) % M
       val proj = aggregate(
         zip_with(vq, sequence(lit(1), size(vq)),
-          (x, i) => x * (pmod(i * a + i * i * b, lit(M)) - (M - 1) / 2)),
+          // i is INT in the sequence — square in LONG so dims > 46340 match
+          // the native Long-math LshSignature this is the identity witness for
+          (x, i) => x * (pmod(i.cast("long") * a + i.cast("long") * i * b,
+            lit(M)) - (M - 1) / 2)),
         lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
