@@ -189,12 +189,28 @@ object QueryCatalog {
     * state partitions x a handful of micro-batches over a small replay is
     * pure per-batch overhead, so the harness scopes it to 8 — the operator
     * itself is partition-count agnostic. */
+  /** Ephemeral checkpoint root for replay-to-memory streams: the memory
+    * sink is non-durable by construction, so its checkpoint carries no
+    * recovery value — place it on tmpfs when available and skip the
+    * per-micro-batch offset/commit/state fsyncs to disk. Durable table
+    * sinks (streamAppend/streamMerge) keep their caller-provided
+    * checkpoint dirs untouched. */
+  private def ephemeralCheckpoint(name: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val root = if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-ephemeral-ckpt"
+      else System.getProperty("java.io.tmpdir")
+    val dir = java.nio.file.Paths.get(root, name)
+    java.nio.file.Files.createDirectories(dir.getParent)
+    dir.toString
+  }
+
   private def runToMemorySink(s: SparkSession, df: DataFrame, prefix: String): DataFrame = {
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = df.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ephemeralCheckpoint(sink))
         .outputMode("append").start()
       q.processAllAvailable(); q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
