@@ -312,17 +312,18 @@ object Maintenance {
       postHooks.foreach(spark.sql(_).collect())
     }
 
-    val debounced = debounceBatch(batch).cache()
-
     if (rule == CreationRule.Create) {
-      // Blind append — no join, no file rewrite.
+      // Blind append — no join, no file rewrite, and a SINGLE consumer of
+      // the debounced batch: caching it would materialize every row once
+      // for nothing, so the write streams straight through the debounce.
       val added = table.stageWrite(
-        debounced.filter(col("_op") === "upsert").drop("_op"), s"merge-append-${java.util.UUID.randomUUID()}")
+        debounceBatch(batch).filter(col("_op") === "upsert").drop("_op"),
+        s"merge-append-${java.util.UUID.randomUUID()}")
       val snap = table.commit("merge", added, summary = Map("rule" -> "create") ++ extraSummary)
-      debounced.unpersist()
       runPostHooks()
       return snap
     }
+    val debounced = debounceBatch(batch).cache()
 
     // Manifest-level candidate-file pruning: a file is touched iff some batch
     // key falls inside its [minDocId, maxDocId]. Interval stabbing via a

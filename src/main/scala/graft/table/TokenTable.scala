@@ -492,7 +492,13 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val stagingDir = new Path(dataDir, jobId)
     val t0 = System.nanoTime()
     val spec = meta.spec
-    if (spec.isEmpty) df.write.mode("errorifexists").parquet(stagingDir.toString)
+    // zstd by default (optimization-guide §6: smaller than snappy at similar
+    // read speed — and for token-array tables MUCH smaller, so every later
+    // scan/compact/merge reads and writes a fraction of the bytes).
+    // Overridable per table via the write.parquet.codec property.
+    val codec = meta.properties.getOrElse("write.parquet.codec", "zstd")
+    if (spec.isEmpty) df.write.mode("errorifexists")
+      .option("compression", codec).parquet(stagingDir.toString)
     else {
       // Partition-aligned write: derived `_p_*` columns drive partitionBy so
       // every output file holds exactly ONE partition tuple; the original
@@ -508,6 +514,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         (if (df.columns.contains("doc_id")) Seq(col("doc_id")) else Seq.empty)
       stamped.sortWithinPartitions(sortCols: _*)
         .write.mode("errorifexists")
+        .option("compression", codec)
         .partitionBy(spec.map(Partitioning.partitionColName): _*)
         .parquet(stagingDir.toString)
     }

@@ -116,8 +116,10 @@ class TokenTableSpec extends SparkSpec {
     val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 8000, nFiles = 32)
     val before = fingerprint(t.scan(spark))
     val scatteredPrunable = t.planFiles(sourceIn = Some(Set("code"))).size
+    // target sized for the zstd-compressed table (write.parquet.codec
+    // default) so the cluster still emits enough files for pruning to bite
     Maintenance.cluster(spark, t, ZOrder(Seq("doc_id", "source", "n_tok")),
-      targetFileBytes = 2L * 1024 * 1024)
+      targetFileBytes = 256L * 1024)
     assert(fingerprint(t.scan(spark)) == before)
     val clustered = t.liveFiles()
     // after clustering, source pruning must skip at least some files
@@ -251,8 +253,9 @@ class TokenTableSpec extends SparkSpec {
     val root = tmpDir("tt-ttl")
     val t = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 3000, nFiles = 12)
     // cluster by source so whole files become provably single-source
+    // (target sized for zstd-compressed files — several per source)
     Maintenance.cluster(spark, t, SortBy(Seq("source", "doc_id")),
-      targetFileBytes = 512L * 1024)
+      targetFileBytes = 64L * 1024)
     val expected = t.scan(spark).filter(col("source") =!= "code").count()
     val snap = Maintenance.deleteWhere(spark, t, Maintenance.SourceIn(Set("code")))
     assert(snap.isDefined)
