@@ -494,11 +494,17 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val spec = meta.spec
     // zstd by default (optimization-guide §6: smaller than snappy at similar
     // read speed — and for token-array tables MUCH smaller, so every later
-    // scan/compact/merge reads and writes a fraction of the bytes).
-    // Overridable per table via the write.parquet.codec property.
+    // scan/compact/merge reads and writes a fraction of the bytes). Level 1:
+    // the write path is encode-bound and level 3 costs ~40% more wall for a
+    // marginal size delta on these files (measured in OPTIMIZATION_r07.md).
+    // Both overridable per table via write.parquet.codec /
+    // write.parquet.zstd-level properties.
     val codec = meta.properties.getOrElse("write.parquet.codec", "zstd")
+    val zstdLevel = meta.properties.getOrElse("write.parquet.zstd-level", "1")
     if (spec.isEmpty) df.write.mode("errorifexists")
-      .option("compression", codec).parquet(stagingDir.toString)
+      .option("compression", codec)
+      .option("parquet.compression.codec.zstd.level", zstdLevel)
+      .parquet(stagingDir.toString)
     else {
       // Partition-aligned write: derived `_p_*` columns drive partitionBy so
       // every output file holds exactly ONE partition tuple; the original
@@ -515,6 +521,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       stamped.sortWithinPartitions(sortCols: _*)
         .write.mode("errorifexists")
         .option("compression", codec)
+        .option("parquet.compression.codec.zstd.level", zstdLevel)
         .partitionBy(spec.map(Partitioning.partitionColName): _*)
         .parquet(stagingDir.toString)
     }
