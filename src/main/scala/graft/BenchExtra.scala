@@ -83,6 +83,7 @@ object BenchExtra {
         val spark = Bench.session(32)
         if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG")) addStageListener(spark, 32)
         warmup(spark, sfDir)
+        val failed = scala.collection.mutable.LinkedHashSet[String]()
         val results = filtered.map { case (name, fn) =>
           val times = (1 to reps).map { _ =>
             spark.sparkContext.setJobDescription(s"bench-extra: $name")
@@ -92,6 +93,7 @@ object BenchExtra {
                 fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               else fn(spark, sfDir).count()
             } catch { case e: Throwable =>
+              failed += name
               System.err.println(s"QUERY $name FAILED: ${e.getMessage}")
             }
             (System.nanoTime() - t0) / 1e9
@@ -102,7 +104,11 @@ object BenchExtra {
         val qs = results.map { case (k, v) =>
           s""""$k":${f(v.min)}""" }.mkString("{", ",", "}")
         val total = results.map(_._2.min).sum
-        println(s"""{"mode":"$mode","sf":"$sfDir","total_sec":${f(total)},"queries":$qs}""")
+        val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+        // failed queries are listed explicitly so a fast failure can never
+        // read as a speedup in the machine-readable line
+        println(s"""{"mode":"$mode","sf":"$sfDir","total_sec":${f(total)},""" +
+          s""""failed":$failedJson,"queries":$qs}""")
         results.sortBy(-_._2.min).foreach { case (k, v) =>
           System.err.println(f"${v.min}%8.3f  $k  ${v.map(x => f(x)).mkString(" ")}")
         }

@@ -433,8 +433,13 @@ object Maintenance {
         graft.table.Partitioning.distributeByPartition(result, m.spec,
           math.max(nOut, spark.sessionState.conf.numShufflePartitions), salt)
       } else if (bounds.nonEmpty) result.sortWithinPartitions("doc_id")
-      else repartitionByTokenMass(result, nOut, Some(totalRows),
-        sampleFrom = Some(slimInputs))
+      else if (nOut <= 1) result.coalesce(1).sortWithinPartitions("doc_id")
+      // bounds sample too small for nOut buckets (tiny tables): fall back
+      // to plain range partitioning directly — re-invoking the token-mass
+      // partitioner would rerun the identical (deterministic) sample job
+      // only to reach the same conclusion
+      else result.repartitionByRange(nOut, col("doc_id"))
+        .sortWithinPartitions("doc_id")
 
     // stepId must be deterministic across reruns (crash-resume finds its
     // ledger) yet distinct for CONCURRENT merges from the same snapshot with
@@ -612,7 +617,8 @@ object Maintenance {
   /** The batch side of the pruning probe: every batch key mapped to its
     * endpoint-interval id by a codegen'd binary search (one scan, distinct
     * ids bounded by 2|files|+1). Exposed for plan evidence (PLANS.md) —
-    * the probe must never plan as a BroadcastNestedLoopJoin. */
+    * the probe must never plan as a BroadcastNestedLoopJoin. The live
+    * merge path runs the fused [[pruneProbeAgg]] form of the same probe. */
   def pruneProbe(batchKeys: DataFrame, endpoints: Array[String]): DataFrame = {
     val bounds: Array[AnyRef] = endpoints.map(s =>
       org.apache.spark.unsafe.types.UTF8String.fromString(s): AnyRef)
@@ -649,17 +655,6 @@ object Maintenance {
     live.filter(f => anyHitIn(idx(f.minDocId), idx(f.maxDocId)))
   }
 
-  /** Files whose [minDocId, maxDocId] may contain a batch key — interval
-    * stabbing over the sorted distinct file endpoints (see mergeInto doc). */
-  private[graft] def touchedFiles(
-      debounced: DataFrame, live: Seq[DataFileMeta]): Seq[DataFileMeta] = {
-    if (live.isEmpty) return Seq.empty
-    val endpoints: Array[String] =
-      live.flatMap(f => Seq(f.minDocId, f.maxDocId)).distinct.sorted.toArray
-    val hits: Array[Int] = pruneProbe(debounced, endpoints)
-      .collect().map(_.getInt(0)).sorted
-    touchedByHits(live, endpoints, hits)
-  }
 
   /**
    * Salted/weighted range partitioning: choose doc_id bounds so each output
@@ -707,6 +702,12 @@ object Maintenance {
       .map(r => (r.getString(0), r.getInt(1).toLong))
       .sortBy(_._1)
     if (sample.length < nOut * 2) return None
+    // NOTE: duplicate cut points are collapsed, so under extreme mass skew
+    // (one doc_id heavier than a whole target file) the route can yield
+    // fewer than nOut partitions and files above target size. doc_ids are
+    // unique per the merge invariant and per-doc mass is bounded by the
+    // longest document, so this needs target files smaller than one
+    // document — out of range for any real sizing.
     val totalMass = sample.map(_._2).sum.toDouble
     val perPart = totalMass / nOut
     val bounds = scala.collection.mutable.ArrayBuffer[AnyRef]()
@@ -724,6 +725,13 @@ object Maintenance {
     Some(bounds.toArray)
   }
 
+  // re-entrancy state for withPartialKeyCoPartition: concurrent merges on
+  // one session must not interleave save/restore and strand the relaxed
+  // value on the session (outermost enter saves, last exit restores)
+  private val partialKeyLock = new Object
+  private var partialKeyDepth = 0
+  private var partialKeySaved: Option[String] = None
+
   /** Run `f` with partial-key co-partitioning allowed: the route-join's
     * HashPartitioning on the leading `_mrt` key must be accepted as
     * co-partitioning for join keys (_mrt, doc_id) — Spark's default
@@ -731,18 +739,26 @@ object Maintenance {
     * replaces the route exchange with a full-key hash shuffle, scattering
     * the output's doc ranges. Safe here because the route is token-mass
     * balanced by construction (the skew the default guards against).
-    * Restores the previous value; under concurrent merges a racing restore
-    * can only cost one commit's file-layout quality, never correctness. */
+    * Depth-counted so interleaved concurrent merges restore the original
+    * value exactly once, when the last one leaves. */
   private def withPartialKeyCoPartition[T](
       spark: SparkSession, needed: Boolean)(f: => T): T = {
     if (!needed) return f
     val key = "spark.sql.requireAllClusterKeysForCoPartition"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+    partialKeyLock.synchronized {
+      if (partialKeyDepth == 0) {
+        partialKeySaved = spark.conf.getOption(key)
+        spark.conf.set(key, "false")
+      }
+      partialKeyDepth += 1
+    }
     try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally partialKeyLock.synchronized {
+      partialKeyDepth -= 1
+      if (partialKeyDepth == 0) partialKeySaved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 

@@ -208,12 +208,22 @@ object QueryCatalog {
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = ephemeralCheckpoint(sink)
     try {
       val q = df.writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", ephemeralCheckpoint(sink))
+        .option("checkpointLocation", ckpt)
         .outputMode("append").start()
       q.processAllAvailable(); q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // explicit checkpoints are not auto-removed on stop the way implicit
+      // temp checkpoints are — delete, or repeated runs accumulate tmpfs
+      try {
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }
+    }
     s.table(sink)
   }
 

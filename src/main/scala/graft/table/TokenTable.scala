@@ -564,7 +564,11 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       }
       buf.toMap
     }
-    if (sizes.isEmpty) return Seq.empty
+    // Zero observed keys: Spark still writes one schema-only parquet file
+    // for an empty frame — a DataFileMeta built from it would carry NULL
+    // min/max doc ids and NPE every later range comparison on the delete
+    // entries. No keys means nothing to commit.
+    if (sizes.isEmpty || observed("n").asInstanceOf[Long] == 0L) return Seq.empty
     if (sizes.size == 1) {
       val (rel, len) = sizes.head
       return Seq(DataFileMeta(

@@ -20,6 +20,20 @@ class MorDeleteSpec extends SparkSpec {
   private def fresh(n: Long = 3000, files: Int = 6): TokenTable =
     SequenceGen.createTable(spark, tmpDir("mor") + "/tbl", n, files)
 
+  test("MoR delete matching zero rows commits nothing (no null-range key entry)") {
+    val t = fresh(n = 100, files = 1)
+    // stats-range intersects (doc ids are doc000000000000..099) but the
+    // half-open gap between two real ids matches no row — the staged key
+    // set is EMPTY, and an empty key file must never become a delete entry
+    // (its null min/max would NPE every later range comparison)
+    val snap = Maintenance.deleteWhereMor(spark, t,
+      Maintenance.DocIdBetween("doc000000000000a", "doc000000000000z"))
+    assert(snap.isEmpty, "zero-match MoR delete must be a no-op")
+    assert(t.metadata.currentSnapshot.forall(_.deletes.isEmpty))
+    // table still fully scannable and intact
+    assert(t.scan(spark).count() == 100)
+  }
+
   test("MoR delete stages keys only (no data rewrite), scan applies the anti-join") {
     val t = fresh()
     val before = t.liveFiles().map(_.path).toSet
