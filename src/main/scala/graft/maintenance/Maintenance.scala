@@ -571,7 +571,10 @@ object Maintenance {
     val debounced = debounceBatch(batch).cache()
     try {
       val jobId = s"merge-mor-${java.util.UUID.randomUUID()}"
-      val keys = table.stageDeleteKeys(debounced.select(col("doc_id")), jobId)
+      // the debounce output is unique per doc_id by construction — skip
+      // stageDeleteKeys' dedup exchange
+      val keys = table.stageDeleteKeys(
+        debounced.select(col("doc_id")), jobId, assumeDistinct = true)
       val rows = debounced.filter(col("_op") === "upsert").drop("_op")
       val added = table.stageWrite(rows, jobId)
       table.commit("merge-mor", added,

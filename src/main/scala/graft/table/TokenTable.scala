@@ -541,7 +541,16 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * per-file doc ranges for scan-time pruning; NO snapshot is committed —
     * callers pass the entries to commit(addDeletes = …). Cost is
     * O(deleted keys), never O(table): the whole point of the MoR path. */
-  def stageDeleteKeys(keys: DataFrame, jobId: String): Seq[DataFileMeta] = {
+  def stageDeleteKeys(keys: DataFrame, jobId: String): Seq[DataFileMeta] =
+    stageDeleteKeys(keys, jobId, assumeDistinct = false)
+
+  /** `assumeDistinct = true` skips the dedup exchange — only for callers
+    * whose key frame is unique by construction (e.g. the output of the
+    * merge debounce, a groupBy on doc_id). Duplicate keys staged by a
+    * violating caller would still delete correctly (equality-delete
+    * semantics), just with redundant key rows. */
+  def stageDeleteKeys(
+      keys: DataFrame, jobId: String, assumeDistinct: Boolean): Seq[DataFileMeta] = {
     val spark = keys.sparkSession
     val stagingDir = new Path(dataDir, s"deletes/$jobId")
     // Global (count, min, max) ride the write as an Observation — when the
@@ -549,7 +558,11 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     // coalescing) its stats are exactly the observed values and the
     // read-back aggregation job below is skipped entirely.
     val obs = new org.apache.spark.sql.Observation(s"graft-delkeys-$jobId")
-    keys.select(col("doc_id").cast("string")).distinct()
+    val distinctKeys = {
+      val cast = keys.select(col("doc_id").cast("string"))
+      if (assumeDistinct) cast else cast.distinct()
+    }
+    distinctKeys
       .observe(obs, count(lit(1)).as("n"),
         min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .write.mode("errorifexists").parquet(stagingDir.toString)
