@@ -460,8 +460,11 @@ object MaintPipelines {
     // partition-aware write distribution: cluster rows by partition tuple so
     // each write task holds few tuples (bounded partitionBy fan-out); the
     // tuple exchange rides the SLIM rows, tokens materialize after it
+    // tuple-hash routing puts each tuple in exactly one task whatever nOut,
+    // so the fan-out can ride the session's parallelism (files/tuple stays 1)
     val df = withStreamTokens(graft.table.Partitioning.distributeByPartition(
-      seedSlim(spark, sfDir), spec, nOut = 8), 31, 50021)
+      seedSlim(spark, sfDir), spec,
+      nOut = math.max(8, spark.sessionState.conf.numShufflePartitions)), 31, 50021)
     t.commit("append", t.stageWrite(df, "seed"))
     require(t.liveFiles().forall(_.partition.exists(p =>
       p.contains("source") && p.contains("doc_id_bucket4"))),
