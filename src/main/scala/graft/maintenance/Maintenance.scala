@@ -368,10 +368,15 @@ object Maintenance {
 
     // Output sizing from manifest stats + the fused probe (bytes/token from
     // live file footers; 2.5 B/token is the observed parquet density for
-    // int32 token streams on an empty table).
+    // int32 token streams on an empty table). Only files that actually
+    // carry a token sum enter the ratio — footer-derived entries record
+    // sumNTok = 0 (unknown) while observation/scan-derived entries record
+    // the exact sum, and a mixed manifest would otherwise overstate
+    // bytes/token by dividing all bytes by a partial sum.
+    val withSums = live.filter(_.sumNTok > 0)
     val bytesPerTok =
-      if (live.nonEmpty && live.map(_.sumNTok).sum > 0)
-        live.map(_.bytes).sum.toDouble / live.map(_.sumNTok).sum
+      if (withSums.nonEmpty)
+        withSums.map(_.bytes).sum.toDouble / withSums.map(_.sumNTok).sum
       else 2.5
     val outBytes = touched.map(_.bytes).sum + (batchToks * bytesPerTok).toLong
     val nOut = math.max(1, math.ceil(outBytes.toDouble / targetFileBytes).toInt)

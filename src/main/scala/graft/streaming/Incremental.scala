@@ -139,10 +139,17 @@ object Incremental {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dbg = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+        val t0 = System.nanoTime()
         val t = TokenTable.load(batch.sparkSession, tableRoot)
         val already = t.metadata.snapshots.exists(
           _.summary.get("stream-batch-id").contains(batchId.toString))
-        if (!already && !batch.isEmpty) op(t, batch, batchId)
+        val t1 = System.nanoTime()
+        val empty = already || batch.isEmpty
+        val t2 = System.nanoTime()
+        if (!empty) op(t, batch, batchId)
+        if (dbg) System.err.println(
+          f"TRIGGER batch=$batchId load ${(t1 - t0) / 1e6}%.0fms isEmpty ${(t2 - t1) / 1e6}%.0fms op ${(System.nanoTime() - t2) / 1e6}%.0fms")
         ()
       }
       .start()

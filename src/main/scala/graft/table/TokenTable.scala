@@ -487,11 +487,24 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     * with freshly computed per-file min/max stats. No snapshot is committed —
     * callers record staged units in the ledger and commit atomically at the end. */
   def stageWrite(dfIn: DataFrame, jobId: String): Seq[DataFileMeta] = {
-    val df = conformToSchema(dfIn, schema)
-    val spark = df.sparkSession
+    val df0 = conformToSchema(dfIn, schema)
+    val spark = df0.sparkSession
     val stagingDir = new Path(dataDir, jobId)
     val t0 = System.nanoTime()
     val spec = meta.spec
+    // Global stats ride the write as an Observation (same pattern as
+    // stageDeleteKeys): when the write lands as ONE file — the common case
+    // for micro-batch merges and sub-target-size outputs — its file stats
+    // ARE the observed values and the footer-stats job below is skipped
+    // entirely (one fewer job + its driver planning gap per commit).
+    // Multi-file writes keep the distributed footer pass, whose per-file
+    // granularity an aggregate observation cannot provide.
+    val obs = new org.apache.spark.sql.Observation(s"graft-stats-${UUID.randomUUID()}")
+    val df = df0.observe(obs, count(lit(1)).as("n"),
+      min(col("doc_id")).as("dlo"), max(col("doc_id")).as("dhi"),
+      min(col("n_tok")).as("tlo"), max(col("n_tok")).as("thi"),
+      coalesce(sum(col("n_tok").cast("long")), lit(0L)).as("tsum"),
+      min(col("source")).as("slo"), max(col("source")).as("shi"))
     // zstd by default (optimization-guide §6: smaller than snappy at similar
     // read speed — and for token-array tables MUCH smaller, so every later
     // scan/compact/merge reads and writes a fraction of the bytes). Level 1:
@@ -526,13 +539,42 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         .parquet(stagingDir.toString)
     }
     val t1 = System.nanoTime()
-    val stats = collectStats(spark, fs, root, stagingDir, schema)
+    val listed = TokenTable.listParquetFast(fs, stagingDir)
+    val observedStats: Option[Seq[DataFileMeta]] =
+      if (listed.size != 1) None
+      else {
+        val o = obs.get
+        val n = o("n").asInstanceOf[Long]
+        // n == 0: Spark writes one schema-only file for an empty frame —
+        // mirror collectStats, which yields no entry for it (its footer has
+        // no blocks and the scan fallback aggregates zero rows).
+        if (n == 0L) Some(Seq.empty)
+        else if (Seq("dlo", "dhi", "tlo", "thi", "slo", "shi").exists(o(_) == null))
+          None // all-null stats column: keep the footer/scan path's handling
+        else {
+          val (p, len, _) = listed.head
+          val slo = o("slo").asInstanceOf[String]
+          val shi = o("shi").asInstanceOf[String]
+          Some(Seq(DataFileMeta(
+            path = TokenTable.relativize(root, p), records = n, bytes = len,
+            minDocId = o("dlo").asInstanceOf[String],
+            maxDocId = o("dhi").asInstanceOf[String],
+            minNTok = o("tlo").asInstanceOf[Number].intValue,
+            maxNTok = o("thi").asInstanceOf[Number].intValue,
+            sumNTok = o("tsum").asInstanceOf[Long],
+            sources = if (slo == shi) Seq(slo) else Seq.empty,
+            minSource = Some(slo), maxSource = Some(shi))))
+        }
+      }
+    val stats = observedStats
+      .getOrElse(collectStats(spark, fs, root, stagingDir, schema))
       .map(_.copy(schemaId = Some(meta.schemaIdNow)))
     val stamped =
       if (spec.isEmpty) stats
       else stats.map(f => f.copy(partition = Partitioning.partitionFromPath(f.path)))
     if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
-      System.err.println(f"STEP write ${(t1 - t0) / 1e6}%.0fms stats ${(System.nanoTime() - t1) / 1e6}%.0fms")
+      System.err.println(f"STEP write ${(t1 - t0) / 1e6}%.0fms stats ${(System.nanoTime() - t1) / 1e6}%.0fms" +
+        (if (observedStats.nonEmpty) " (observed)" else ""))
     stamped
   }
 
