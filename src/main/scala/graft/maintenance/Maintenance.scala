@@ -323,6 +323,8 @@ object Maintenance {
       runPostHooks()
       return snap
     }
+    val mDbg = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+    val mT0 = System.nanoTime()
     val debounced = debounceBatch(batch).cache()
 
     // Manifest-level candidate-file pruning: a file is touched iff some batch
@@ -353,6 +355,7 @@ object Maintenance {
     val endpoints: Array[String] =
       live.flatMap(f => Seq(f.minDocId, f.maxDocId)).distinct.sorted.toArray
     val probeRows = pruneProbeAgg(debounced, endpoints).collect()
+    val mT1 = System.nanoTime()
     val hits: Array[Int] = probeRows.map(_.getInt(0)).sorted
     val batchRows = probeRows.map(_.getLong(1)).sum
     val batchToks = probeRows.map(_.getLong(2)).sum
@@ -475,6 +478,7 @@ object Maintenance {
         outs
       })
     }
+    val mT2 = System.nanoTime()
     Failpoints.hit("merge.before-commit")
     val snap =
       try table.commit("merge", staged, touchedPaths,
@@ -494,6 +498,8 @@ object Maintenance {
     ledger.clear()
     debounced.unpersist()
     runPostHooks()
+    if (mDbg) System.err.println(
+      f"MERGESTEP probe ${(mT1 - mT0) / 1e6}%.0fms stage ${(mT2 - mT1) / 1e6}%.0fms commit ${(System.nanoTime() - mT2) / 1e6}%.0fms")
     snap
   }
 
