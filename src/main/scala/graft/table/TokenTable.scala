@@ -514,6 +514,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     // write.parquet.zstd-level properties.
     val codec = meta.properties.getOrElse("write.parquet.codec", "zstd")
     val zstdLevel = meta.properties.getOrElse("write.parquet.zstd-level", "1")
+    graft.maintenance.Maintenance.debugPlan("stagewrite", df)
     if (spec.isEmpty) df.write.mode("errorifexists")
       .option("compression", codec)
       .option("parquet.compression.codec.zstd.level", zstdLevel)
