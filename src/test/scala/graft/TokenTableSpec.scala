@@ -280,6 +280,40 @@ class TokenTableSpec extends SparkSpec {
     assert(t2.scan(spark).count() == 700)
   }
 
+  test("single-file stageWrite stats (observed) match the footer/scan-derived stats") {
+    val root = tmpDir("tt-obs-stats")
+    val t = TokenTable.create(spark, s"$root/tbl")
+    val df = SequenceGen.sequences(spark, 300, seed = 7).coalesce(1)
+    val staged = t.stageWrite(df, "obs-single")
+    assert(staged.size == 1, s"expected one staged file, got ${staged.map(_.path)}")
+    val obs = staged.head
+    // independent ground truth from a scan of the staged file
+    val truth = spark.read.parquet(s"$root/tbl/data/obs-single").select(
+      count(lit(1)).as("n"),
+      min(col("doc_id")).as("dlo"), max(col("doc_id")).as("dhi"),
+      min(col("n_tok")).as("tlo"), max(col("n_tok")).as("thi"),
+      sum(col("n_tok").cast("long")).as("tsum"),
+      min(col("source")).as("slo"), max(col("source")).as("shi")).collect()(0)
+    assert(obs.records == truth.getAs[Long]("n"))
+    assert(obs.minDocId == truth.getAs[String]("dlo") && obs.maxDocId == truth.getAs[String]("dhi"))
+    assert(obs.minNTok == truth.getAs[Int]("tlo") && obs.maxNTok == truth.getAs[Int]("thi"))
+    assert(obs.sumNTok == truth.getAs[Long]("tsum"))
+    assert(obs.minSource.contains(truth.getAs[String]("slo")) &&
+      obs.maxSource.contains(truth.getAs[String]("shi")))
+    assert(obs.bytes > 0 && obs.schemaId.contains(0))
+    // and the footer pass agrees on every field it derives
+    val footer = TokenTable.collectStats(
+      spark, t.fs, new org.apache.hadoop.fs.Path(s"$root/tbl"),
+      new org.apache.hadoop.fs.Path(s"$root/tbl/data/obs-single"))
+    assert(footer.size == 1)
+    val f = footer.head
+    assert((f.path, f.records, f.bytes, f.minDocId, f.maxDocId, f.minNTok, f.maxNTok) ==
+      (obs.path, obs.records, obs.bytes, obs.minDocId, obs.maxDocId, obs.minNTok, obs.maxNTok))
+    // a zero-row single-file write stages nothing, exactly like the footer path
+    val empty = df.filter(lit(false))
+    assert(t.stageWrite(empty, "obs-empty").isEmpty)
+  }
+
   test("conflicting rewrites: a merge planned against files a compact replaced must abort") {
     import graft.maintenance.Maintenance
     val root = tmpDir("tt-conflict")
