@@ -426,6 +426,8 @@ object DedupOps {
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+      System.err.println(s"CCROUNDS $i")
     labels
   }
 }
