@@ -62,7 +62,17 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
 
   // ---------------------------------------------------------------- reading
 
-  private def loadCurrentMetadata(): TableMetadata = {
+  private def loadCurrentMetadata(): TableMetadata = loadVersioned()._1
+
+  /** Load the current metadata TOGETHER with the version file it came from.
+    * A committer must publish at exactly (that version + 1): re-reading
+    * `currentVersion()` at publish time unties the slot from the loaded
+    * base, and a commit landing in between makes the stale base publish as
+    * the NEXT slot — silently dropping the interleaved snapshot (observed
+    * as a vanished merge under concurrent writers; both returned the same
+    * snapshot id). With the slot pinned, the interleaved case loses the
+    * atomic publish and replans. */
+  private def loadVersioned(): (TableMetadata, Int) = {
     val v = currentVersion()
     require(v >= 0, s"no table at $root")
     val raw = TableJson.readMetadata(readString(fs, new Path(metadataDir, s"v$v.json")))
@@ -74,7 +84,15 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     require(raw.formatVersion <= TokenTable.CurrentFormatVersion,
       s"table at $root has format version ${raw.formatVersion}, this build " +
         s"reads at most ${TokenTable.CurrentFormatVersion} — upgrade the reader")
-    hydrate(raw)
+    (hydrate(raw), v)
+  }
+
+  /** Refresh the cached metadata and return it with its version — the
+    * commit loops' entry point (see [[loadVersioned]]). */
+  private def refreshVersioned(): (TableMetadata, Int) = {
+    val lv = loadVersioned()
+    meta = lv._1
+    lv
   }
 
   /** Populate every snapshot's manifests from its manifest-list file. A
@@ -685,7 +703,12 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       declareSortOrder: Option[Seq[String]] = None): Snapshot = {
     var attempt = 0
     while (true) {
-      val base = refresh()
+      val (base, baseVersion) = refreshVersioned()
+      // interleaving point for the stale-base regression test: a commit
+      // injected HERE must force this one to lose its pinned version slot
+      // and replan — never to publish the stale base over the interleaved
+      // snapshot at the next slot
+      graft.maintenance.Failpoints.hitCallback("table.commit.after-base")
       branch.foreach { b =>
         base.refMap.get(b).foreach(r => require(r.kind == "branch",
           s"ref '$b' is a ${r.kind}, not a branch — tags are immutable"))
@@ -776,7 +799,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
           refs = Some(base.refMap + (b -> SnapshotRef(snap.snapshotId, "branch"))))
       }
       val next = declareSortOrder.fold(next0)(so => next0.copy(sortOrder = so))
-      tryCommitVersion(currentVersion() + 1, next).foreach { committed =>
+      tryCommitVersion(baseVersion + 1, next).foreach { committed =>
         meta = committed
         return committed.snapshot(snap.snapshotId).getOrElse(snap)
       }
@@ -792,7 +815,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   def commitManifestGroups(operation: String, groups: Seq[Seq[DataFileMeta]]): Snapshot = {
     var attempt = 0
     while (attempt < 5) {
-      val base = refresh()
+      val (base, baseVersion) = refreshVersioned()
       val parent = base.currentSnapshot.getOrElse(sys.error("no snapshot"))
       val currentLive = manifestEntries(parent).map(_.path).toSet
       val proposed = groups.flatten.map(_.path).toSet
@@ -808,7 +831,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
         summary = Map("manifests" -> manifests.size.toString),
         deleteManifests = parent.deleteManifests)
       val next = base.withSnapshot(snap)
-      tryCommitVersion(currentVersion() + 1, next).foreach { committed =>
+      tryCommitVersion(baseVersion + 1, next).foreach { committed =>
         meta = committed
         return committed.snapshot(snap.snapshotId).getOrElse(snap)
       }
@@ -854,8 +877,10 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
     val tmp = new Path(metadataDir, s".tmp-${UUID.randomUUID()}.json")
     writeString(fs, tmp, TableJson.write(onDisk))
     val dst = new Path(metadataDir, s"v$version.json")
-    // rename refuses to clobber: first committer of v<N> wins.
-    val won = !fs.exists(dst) && fs.rename(tmp, dst)
+    // first committer of v<N> wins, atomically (see firstWinsPublish — the
+    // old exists+rename pair was a lost-update TOCTOU on local filesystems,
+    // whose rename CLOBBERS an existing destination).
+    val won = TokenTable.firstWinsPublish(fs, tmp, dst)
     if (won) {
       // hint update via tmp+rename, NOT truncate-in-place: a concurrent
       // reader of a truncated hint sees an empty file (EOF noise under racing
@@ -866,7 +891,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
       writeString(fs, hintTmp, version.toString)
       if (fs.exists(hint)) fs.delete(hint, false)
       if (!fs.rename(hintTmp, hint)) fs.delete(hintTmp, false) // lost hint race: advisory
-    } else fs.delete(tmp, false)
+    }
     if (won) Some(inMem) else None
   }
 
@@ -963,9 +988,9 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   private def updateMeta(f: TableMetadata => TableMetadata): TableMetadata = {
     var attempt = 0
     while (attempt < 5) {
-      val base = refresh()
+      val (base, baseVersion) = refreshVersioned()
       val next = f(base)
-      tryCommitVersion(currentVersion() + 1, next).foreach { committed =>
+      tryCommitVersion(baseVersion + 1, next).foreach { committed =>
         meta = committed; return committed
       }
       attempt += 1
@@ -976,7 +1001,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
   def expireSnapshots(retainLast: Int = 1, olderThanMs: Option[Long] = None): TableMetadata = {
     var attempt = 0
     while (attempt < 5) {
-      val base = refresh()
+      val (base, baseVersion) = refreshVersioned()
       val byRecency = base.snapshots.sortBy(-_.timestampMs)
       val keepIds: Set[Long] =
         (byRecency.take(math.max(retainLast, 1)).map(_.snapshotId) ++
@@ -994,7 +1019,7 @@ class TokenTable private (val root: Path, val fs: FileSystem) {
           olderThanMs.map(cut => base.snapshots.filter(_.timestampMs >= cut).map(_.snapshotId))
             .getOrElse(Seq.empty)).toSet
       val next = base.copy(snapshots = base.snapshots.filter(s => keepIds.contains(s.snapshotId)))
-      tryCommitVersion(currentVersion() + 1, next).foreach { committed =>
+      tryCommitVersion(baseVersion + 1, next).foreach { committed =>
         meta = committed; return committed
       }
       attempt += 1
@@ -1313,7 +1338,8 @@ object TokenTable {
       partitionSpec = if (partitionSpec.isEmpty) None else Some(partitionSpec))
     val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}.json")
     writeString(fs, tmp, TableJson.write(m))
-    require(fs.rename(tmp, new Path(metaDir, "v0.json")), s"concurrent create at $rootStr")
+    require(firstWinsPublish(fs, tmp, new Path(metaDir, "v0.json")),
+      s"concurrent create at $rootStr")
     writeString(fs, new Path(metaDir, "version-hint.text"), "0", overwrite = true)
     new TokenTable(root, fs)
   }
@@ -1491,6 +1517,44 @@ object TokenTable {
   def docRange(files: Seq[DataFileMeta]): Option[(String, String)] =
     if (files.isEmpty) None
     else Some((files.map(_.minDocId).min, files.map(_.maxDocId).max))
+
+  /** First-committer-wins publish of `tmp` at `dst` (both sides of a
+    * version-file commit race call this; exactly one must win). On local
+    * filesystems Hadoop's rename delegates to java.io renameTo — POSIX
+    * rename(2), which CLOBBERS an existing destination — so the naive
+    * `!exists(dst) && rename(tmp, dst)` is a check-then-act race: two
+    * committers can both observe no dst, both rename, and the second
+    * silently overwrites the first — a lost commit (observed as a vanished
+    * merge snapshot under concurrent writers). link(2) is the atomic
+    * no-clobber primitive there: createLink fails with
+    * FileAlreadyExistsException iff dst exists, atomically. Non-local
+    * filesystems keep exists+rename — HDFS rename refuses to clobber
+    * (returns false) and object-store renames are copy+delete with their
+    * own semantics. `tmp` is always cleaned up, win or lose. */
+  private[table] def firstWinsPublish(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (fs.getScheme == "file") {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      val won =
+        try { java.nio.file.Files.createLink(d, t); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (won) {
+        // carry the checksum sidecar (ChecksumFileSystem ".<name>.crc") so
+        // the published file stays verified; best-effort — a missing crc
+        // only disables verification for this one file
+        try {
+          val tc = t.resolveSibling("." + t.getFileName + ".crc")
+          val dc = d.resolveSibling("." + d.getFileName + ".crc")
+          if (java.nio.file.Files.exists(tc)) java.nio.file.Files.createLink(dc, tc)
+        } catch { case _: Throwable => () }
+      }
+      fs.delete(tmp, false) // unlinks tmp's name (+its crc); the linked dst survives
+      won
+    } else {
+      val won = !fs.exists(dst) && fs.rename(tmp, dst)
+      if (!won) fs.delete(tmp, false)
+      won
+    }
 
   /** Recursive `.parquet` listing of a directory tree. Hadoop's
     * LocalFileSystem pays a per-file `ls -ld` exec to populate the

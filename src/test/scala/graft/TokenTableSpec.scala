@@ -314,6 +314,33 @@ class TokenTableSpec extends SparkSpec {
     assert(t.stageWrite(empty, "obs-empty").isEmpty)
   }
 
+  test("a commit interleaved between base load and publish is never dropped") {
+    import graft.maintenance.Failpoints
+    val root = tmpDir("tt-slot-race")
+    val t1 = SequenceGen.createTable(spark, s"$root/tbl", nDocs = 100, nFiles = 2)
+    val t2 = TokenTable.load(spark, s"$root/tbl")
+    val interleaved = t2.stageWrite(
+      SequenceGen.sequences(spark, 10, seed = 3)
+        .withColumn("doc_id", concat(lit("x"), col("doc_id"))), "interleaved")
+    // land a commit from another instance exactly between this instance's
+    // base load and its version publish — the classic lost-update window:
+    // the stale base must LOSE its pinned slot and replan, never publish
+    // over the interleaved snapshot at the next slot
+    Failpoints.armCallback("table.commit.after-base") { () =>
+      t2.commit("append", interleaved)
+    }
+    try {
+      val staged = t1.stageWrite(
+        SequenceGen.sequences(spark, 10, seed = 4)
+          .withColumn("doc_id", concat(lit("y"), col("doc_id"))), "mine")
+      t1.commit("append", staged)
+    } finally Failpoints.reset()
+    t1.refresh()
+    val ops = t1.metadata.snapshots.map(s => (s.snapshotId, s.operation))
+    assert(t1.metadata.snapshots.size == 3, s"a snapshot was dropped: $ops")
+    assert(t1.metadata.snapshots.map(_.snapshotId).distinct.size == 3, s"duplicate ids: $ops")
+  }
+
   test("conflicting rewrites: a merge planned against files a compact replaced must abort") {
     import graft.maintenance.Maintenance
     val root = tmpDir("tt-conflict")
